@@ -1,0 +1,201 @@
+"""Unit tests for metrics, TREC IO, treceval, artifact filenames, processors."""
+
+import json
+import os
+
+import pytest
+
+from bergen_tpu import metrics, utils
+from bergen_tpu.utils import treceval
+from bergen_tpu.data.processors.utils import chunk_text, listify_label
+
+
+# --------------------------------------------------------------------------- #
+# metrics
+# --------------------------------------------------------------------------- #
+
+
+def test_normalize():
+    assert metrics.normalize("The  Quick, Brown Fox!") == "quick brown fox"
+    assert metrics.normalize("A An The") == ""
+
+
+def test_match_and_em():
+    preds = ["The answer is Paris.", "london", "no idea"]
+    refs = [["Paris"], ["London", "LDN"], ["Tokyo"]]
+    assert metrics.match_score(preds, refs) == [1.0, 1.0, 0.0]
+    assert metrics.exact_match_score(preds, refs) == [0.0, 1.0, 0.0]
+
+
+def test_f1_multi_label_takes_max():
+    out = metrics.f1_score(["paris france"], [["paris", "rome italy"]])
+    assert out["f1"][0] == pytest.approx(2 * (1 / 2) * 1 / (1 / 2 + 1))
+    assert out["recall"][0] == 1.0
+
+
+def test_char3gram_tokens():
+    assert metrics.char_ngrams("ab paris") == ["ab", "par", "ari", "ris"]
+
+
+def test_ragmetrics_compute_keys():
+    out = metrics.RAGMetrics.compute(["paris"], [["paris"]])
+    assert set(out) == {
+        "M", "EM", "F1", "Precision", "Recall", "Recall_char3gram",
+        "Rouge-1", "Rouge-2", "Rouge-L",
+    }
+    assert out["M"] == [1.0] and out["EM"] == [1.0]
+    assert out["Rouge-1"][0] == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------------------- #
+# trec io + treceval
+# --------------------------------------------------------------------------- #
+
+
+def test_trec_roundtrip(tmp_path):
+    fname = str(tmp_path / "run.trec")
+    utils.write_trec(fname, ["q1", "q2"], [["d1", "d2"], ["d3"]], [[2.0, 1.0], [9.0]])
+    q_ids, d_ids, scores = utils.load_trec(fname)
+    assert q_ids == ["q1", "q2"]
+    assert d_ids == [["d1", "d2"], ["d3"]]
+    assert scores == [[2.0, 1.0], [9.0]]
+
+
+def test_treceval_p1_recall():
+    qrel = {"q1": {"d1": 1, "d9": 1}, "q2": {"d5": 1}}
+    run = {
+        "q1": {"d1": 3.0, "d2": 2.0, "d9": 1.0},
+        "q2": {"d4": 5.0, "d5": 4.0},
+        "q_not_in_qrel": {"d1": 1.0},
+    }
+    out = treceval.evaluate(qrel, run, ["P_1", "recall_2"])
+    assert out["q1"]["P_1"] == 1.0
+    assert out["q1"]["recall_2"] == 0.5
+    assert out["q2"]["P_1"] == 0.0
+    assert out["q2"]["recall_2"] == 1.0
+    assert "q_not_in_qrel" not in out
+
+
+def test_eval_retrieval_kilt(tmp_path):
+    exp = tmp_path / "exp"
+    qrels = tmp_path / "qrels"
+    exp.mkdir()
+    qrels.mkdir()
+    with open(qrels / "qrel.myds.dev.json", "w") as f:
+        json.dump({"q1": {"w1": 1}}, f)
+    # two passages of same wiki page w1: maxP dedup keeps the higher score
+    out = utils.eval_retrieval_kilt(
+        str(exp), str(qrels), "myds", "docs", "dev",
+        ["q1"], [["w1", "w2", "w1"]], [[1.0, 5.0, 3.0]], top_k=2,
+    )
+    assert out["P_1"] == 0.0  # w2 scored highest
+    assert out["recall_2"] == 1.0
+    assert os.path.exists(exp / "eval_dev_ranking_run.trec")
+    assert os.path.exists(exp / "eval_dev_ranking_metrics.json")
+
+
+# --------------------------------------------------------------------------- #
+# filenames + experiment lifecycle
+# --------------------------------------------------------------------------- #
+
+
+def test_filename_conventions():
+    assert (
+        utils.get_ranking_filename("runs", "qds", "dds", "splade", "dev", 50, "copy")
+        == "runs/run.retrieve.top_50.qds.dds.dev.splade.trec"
+    )
+    assert (
+        utils.get_ranking_filename("runs", "qds", "dds", "oracle_provenance", "dev", 50, "copy")
+        == "runs/run.oracle.qds.dev.trec"
+    )
+    assert utils.get_index_path("idx", "kilt", "bge", "doc", "dev") == "idx/kilt_dev_doc_bge"
+    assert (
+        utils.get_index_path("idx", "kilt", "bge", "query", "dev", "rewrite")
+        == "idx/kilt_dev_query_bge.rewrite"
+    )
+    assert "rerank.top_10" in utils.get_reranking_filename(
+        "runs", "q", "d", "dev", "r1", 50, "ce", 10, "copy"
+    )
+
+
+def test_experiment_lifecycle(tmp_path):
+    cfg = {"a": 1}
+    run_name, folder = utils.init_experiment(
+        cfg, str(tmp_path / "exp"), str(tmp_path / "idx"), str(tmp_path / "runs")
+    )
+    assert run_name.startswith("tmp_")
+    assert os.path.exists(os.path.join(folder, "config.yaml"))
+    finished = utils.move_finished_experiment(folder)
+    assert os.path.exists(finished) and not os.path.exists(folder)
+    # rerunning a finished experiment refuses
+    with pytest.raises(OSError):
+        utils.init_experiment(
+            cfg, str(tmp_path / "exp"), str(tmp_path / "idx"), str(tmp_path / "runs")
+        )
+
+
+# --------------------------------------------------------------------------- #
+# dataset processors
+# --------------------------------------------------------------------------- #
+
+
+def test_chunk_text_words():
+    chunks = chunk_text("a b c d e f g h", "x", title="T", max_size=4, overlap=1,
+                        words_or_chars="words")
+    assert chunks[0] == {"id": "x_0", "content": "T: a b c d"}
+    assert chunks[1]["content"].startswith("T: d e f g")
+
+
+def test_listify_label():
+    assert listify_label({"label": "x"}) == {"label": ["x"]}
+
+
+def test_ut1_processors(tmp_path):
+    from bergen_tpu.data.processors.ut import UT1Docs, UT1Queries
+
+    q = UT1Queries(
+        split="dev", out_folder=str(tmp_path), num_proc=1, overwrite=False,
+        debug=False, oracle_provenance=False, shuffle_labels=False,
+    ).get_dataset()
+    assert len(q) == 50
+    assert q[0]["label"] == ["Ashford"]
+    assert q.id2index["q1"] == 1
+    # cache hit path
+    q2 = UT1Queries(
+        split="dev", out_folder=str(tmp_path), num_proc=1, overwrite=False,
+        debug=True, oracle_provenance=False, shuffle_labels=False,
+    ).get_dataset()
+    assert len(q2) == 50 and q2.name == "ut1queries_debug"
+
+    d = UT1Docs(
+        split="dev", out_folder=str(tmp_path), num_proc=1, overwrite=False,
+        debug=False, oracle_provenance=False, shuffle_labels=False,
+    ).get_dataset()
+    assert len(d) == 1000
+
+
+def test_prepare_dataset_from_ids(tmp_path):
+    import datasets as hfds
+
+    queries = hfds.Dataset.from_dict(
+        {"id": ["q1", "q2"], "content": ["who?", "what?"],
+         "label": [["a1"], ["a2"]]}
+    )
+    queries.id2index = {"q1": 0, "q2": 1}
+    docs = hfds.Dataset.from_dict(
+        {"id": ["d1", "d2", "d3"], "content": ["t1", "t2", "t3"]}
+    )
+    docs.id2index = {"d1": 0, "d2": 1, "d3": 2}
+    dataset = {"query": queries, "doc": docs}
+
+    multi = utils.prepare_dataset_from_ids(
+        dataset, ["q1", "q2"], [["d2", "d1"], ["d3"]], multi_doc=True
+    )
+    assert multi[0]["doc"] == ["t2", "t1"]
+    assert multi[0]["label"] == ["a1"]
+
+    pairs = utils.prepare_dataset_from_ids(
+        dataset, ["q1", "q2"], [["d2", "d1"], ["d3"]], multi_doc=False
+    )
+    assert len(pairs) == 3
+    assert pairs[0]["doc"] == "t2" and pairs[0]["q_id"] == "q1"
