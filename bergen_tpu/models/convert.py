@@ -1,0 +1,166 @@
+"""HF torch checkpoint → bergen_tpu parameter pytree conversion.
+
+The reference loads every model with ``AutoModel*`` from HF hub; on TPU we load
+the same checkpoints but convert the torch state dict into our functional param
+trees once, host-side, then ship to device as bf16 (weights) with fp32 norms.
+Covers the BERT family (dense retrievers / SPLADE / cross-encoders) and the
+Llama family (generators) — the two architectures carrying all hot-path FLOPs
+in SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _t(x) -> np.ndarray:  # torch tensor -> numpy (no torch import needed here)
+    return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+
+def _lin(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """torch nn.Linear stores weight [out, in]; our kernels are [in, out]."""
+    p = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _t(sd[f"{prefix}.bias"])
+    return p
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _strip_prefix(sd: Mapping, candidates=("bert.", "model.", "roberta.")) -> Dict:
+    """Normalize away the HF wrapper prefix (BertForMaskedLM stores weights
+    under 'bert.', bare BertModel has none)."""
+    out = dict(sd)
+    for cand in candidates:
+        if any(k.startswith(cand + "embeddings") or k.startswith(cand + "encoder")
+               or k.startswith(cand + "embed_tokens") or k.startswith(cand + "layers")
+               for k in sd):
+            out = {}
+            for k, v in sd.items():
+                out[k[len(cand):] if k.startswith(cand) else k] = v
+            break
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# BERT family
+# --------------------------------------------------------------------------- #
+
+
+def bert_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
+    """Map an HF BertModel/BertForMaskedLM/BertForSequenceClassification state
+    dict onto the bergen_tpu.models.bert tree."""
+    sd = _strip_prefix(state_dict)
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word": _t(sd["embeddings.word_embeddings.weight"]),
+            "position": _t(sd["embeddings.position_embeddings.weight"]),
+            "token_type": _t(sd["embeddings.token_type_embeddings.weight"]),
+            "ln": _ln(sd, "embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(num_layers):
+        pre = f"encoder.layer.{i}"
+        p["layers"].append(
+            {
+                "attn": {
+                    "q": _lin(sd, f"{pre}.attention.self.query"),
+                    "k": _lin(sd, f"{pre}.attention.self.key"),
+                    "v": _lin(sd, f"{pre}.attention.self.value"),
+                    "o": _lin(sd, f"{pre}.attention.output.dense"),
+                },
+                "attn_ln": _ln(sd, f"{pre}.attention.output.LayerNorm"),
+                "mlp_in": _lin(sd, f"{pre}.intermediate.dense"),
+                "mlp_out": _lin(sd, f"{pre}.output.dense"),
+                "mlp_ln": _ln(sd, f"{pre}.output.LayerNorm"),
+            }
+        )
+    if "pooler.dense.weight" in sd:
+        p["pooler"] = _lin(sd, "pooler.dense")
+    # MLM head (BertForMaskedLM layout)
+    if "cls.predictions.transform.dense.weight" in sd:
+        p["mlm"] = {
+            "transform": _lin(sd, "cls.predictions.transform.dense"),
+            "ln": _ln(sd, "cls.predictions.transform.LayerNorm"),
+            "bias": _t(sd["cls.predictions.bias"]),
+        }
+    # sequence-classification head (BertForSequenceClassification layout)
+    if "classifier.weight" in sd:
+        p["classifier"] = _lin(sd, "classifier")
+    return p
+
+
+# --------------------------------------------------------------------------- #
+# Llama family
+# --------------------------------------------------------------------------- #
+
+
+def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
+    """Map an HF LlamaForCausalLM (or MistralForCausalLM — identical layout)
+    state dict onto the bergen_tpu.models.llama tree."""
+    sd = _strip_prefix(state_dict, candidates=("model.",))
+    p: Dict[str, Any] = {
+        "embed": _t(sd["embed_tokens.weight"]),
+        "layers": [],
+        "final_norm": {"scale": _t(sd["norm.weight"])},
+    }
+    for i in range(num_layers):
+        pre = f"layers.{i}"
+        p["layers"].append(
+            {
+                "attn": {
+                    "q": {"kernel": _t(sd[f"{pre}.self_attn.q_proj.weight"]).T},
+                    "k": {"kernel": _t(sd[f"{pre}.self_attn.k_proj.weight"]).T},
+                    "v": {"kernel": _t(sd[f"{pre}.self_attn.v_proj.weight"]).T},
+                    "o": {"kernel": _t(sd[f"{pre}.self_attn.o_proj.weight"]).T},
+                },
+                "attn_norm": {"scale": _t(sd[f"{pre}.input_layernorm.weight"])},
+                "mlp": {
+                    "gate": {"kernel": _t(sd[f"{pre}.mlp.gate_proj.weight"]).T},
+                    "up": {"kernel": _t(sd[f"{pre}.mlp.up_proj.weight"]).T},
+                    "down": {"kernel": _t(sd[f"{pre}.mlp.down_proj.weight"]).T},
+                },
+                "mlp_norm": {"scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])},
+            }
+        )
+    if "lm_head.weight" in state_dict:
+        p["lm_head"] = {"kernel": _t(state_dict["lm_head.weight"]).T}
+    # tied-embedding models (e.g. gemma/tinyllama variants) reuse embed
+    return p
+
+
+# --------------------------------------------------------------------------- #
+# device placement
+# --------------------------------------------------------------------------- #
+
+
+def to_device_tree(params, dtype=jnp.bfloat16, norm_keys=("ln", "scale", "bias",
+                                                          "attn_norm", "mlp_norm",
+                                                          "final_norm")):
+    """Cast weights to bf16 for the MXU; keep norm parameters fp32."""
+    import jax
+
+    def cast(path, leaf):
+        names = {getattr(k, "key", getattr(k, "idx", None)) for k in path}
+        keep_fp32 = names & set(norm_keys)
+        target = jnp.float32 if keep_fp32 else dtype
+        return jnp.asarray(leaf, dtype=target)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def hf_model_to_tree(hf_model, family: str) -> Dict[str, Any]:
+    """Convenience: convert a live HF torch model (family: 'bert' | 'llama')."""
+    sd = hf_model.state_dict()
+    cfg = hf_model.config
+    if family == "bert":
+        return bert_from_hf(sd, cfg.num_hidden_layers)
+    if family == "llama":
+        return llama_from_hf(sd, cfg.num_hidden_layers)
+    raise ValueError(f"Unknown family '{family}'")

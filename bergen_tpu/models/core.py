@@ -1,0 +1,160 @@
+"""Shared transformer building blocks — pure-JAX, functional, jittable.
+
+Design stance (TPU-first, SURVEY.md §7): models are *data* (parameter pytrees of
+``jnp`` arrays) plus *pure functions* (``apply``-style forwards). No module
+classes, no tracing magic — every forward is an ordinary JAX function that can
+be ``jit``-ed, ``pjit``-sharded over a mesh, differentiated, or wrapped in
+``shard_map``. All matmuls route through the MXU via einsum/dot_general in
+bfloat16 with fp32 accumulation (``preferred_element_type``).
+
+These blocks replace the reference's HF torch module forwards (e.g.
+``models/retrievers/dense.py:37-47``) — behaviourally equivalent, structurally
+re-designed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------- #
+# initializers (used for tests / training-from-scratch; production weights
+# come from checkpoint conversion in models/convert.py)
+# --------------------------------------------------------------------------- #
+
+
+def dense_init(key, d_in: int, d_out: int, scale: float | None = None) -> Params:
+    scale = scale if scale is not None else 1.0 / math.sqrt(d_in)
+    return {
+        "kernel": jax.random.normal(key, (d_in, d_out), jnp.float32) * scale,
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def layernorm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+# --------------------------------------------------------------------------- #
+# primitive layers
+# --------------------------------------------------------------------------- #
+
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ W + b with fp32 MXU accumulation."""
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """LayerNorm in fp32 regardless of activation dtype (bf16-safe)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def rmsnorm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (y * p["scale"]).astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # exact (erf) gelu — matches HF BERT's default "gelu"
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT_FNS = {
+    "gelu": gelu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+# --------------------------------------------------------------------------- #
+# attention
+# --------------------------------------------------------------------------- #
+
+
+def mha(
+    p: Params,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_heads: int,
+    *,
+    kv: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Bidirectional multi-head attention (encoder style).
+
+    x: [B, S, D]; mask: [B, S] (1 = attend) or [B, 1, Sq, Sk] additive-ready
+    bool.  Scores accumulate in fp32; softmax in fp32.
+    """
+    B, S, D = x.shape
+    kv = x if kv is None else kv
+    head_dim = D // num_heads
+
+    q = dense(p["q"], x).reshape(B, S, num_heads, head_dim)
+    k = dense(p["k"], kv).reshape(B, kv.shape[1], num_heads, head_dim)
+    v = dense(p["v"], kv).reshape(B, kv.shape[1], num_heads, head_dim)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(head_dim)
+    if mask.ndim == 2:
+        bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(jnp.float32)
+    else:
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(B, S, D)
+    return dense(p["o"], ctx)
+
+
+def mha_init(key, d_model: int) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "q": dense_init(ks[0], d_model, d_model),
+        "k": dense_init(ks[1], d_model, d_model),
+        "v": dense_init(ks[2], d_model, d_model),
+        "o": dense_init(ks[3], d_model, d_model),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# batching helpers (static shapes under XLA)
+# --------------------------------------------------------------------------- #
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def length_bucket(length: int, buckets: tuple[int, ...]) -> int:
+    """Smallest bucket >= length (last bucket if none fits). Bucketing keeps the
+    number of distinct jit shapes small where torch pads 'longest' dynamically
+    (reference dense.py:57)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def make_buckets(max_len: int, min_len: int = 32) -> tuple[int, ...]:
+    out = []
+    b = min_len
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(max_len)
+    return tuple(out)

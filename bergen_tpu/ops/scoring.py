@@ -1,0 +1,222 @@
+"""Dense MIPS scoring: the retrieval hot loop, rebuilt TPU-native.
+
+The reference streams 150k-doc embedding chunks host→GPU per query batch and
+runs ``torch.mm`` + ``torch.topk`` per chunk (``modules/retrieve.py:147-185``) —
+re-uploading every chunk for every query batch.  Here the corpus lives
+**device-resident** in HBM as bf16 shards partitioned over the mesh ``data``
+axis; each query batch is broadcast, scored by a Pallas tiled-GEMM kernel on
+the MXU, reduced to a per-device top-k, and merged across devices with one
+all-gather over ICI.  No host↔device traffic in the steady state.
+
+Public API:
+  * ``pallas_score(queries, corpus_t)``            — bf16 MXU GEMM kernel
+  * ``topk_blocked(queries, corpus, k, ...)``      — single-device streaming top-k
+  * ``sharded_topk(mesh, queries, corpus, k)``     — multi-chip: local top-k +
+                                                     ICI all-gather merge
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_dim(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(x, pads)
+
+
+# --------------------------------------------------------------------------- #
+# Pallas tiled GEMM: scores = Q @ C^T, bf16 in / f32 out
+# --------------------------------------------------------------------------- #
+
+
+def _score_kernel(q_ref, c_ref, out_ref):
+    out_ref[:] = jnp.dot(
+        q_ref[:], c_ref[:], preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_n"))
+def pallas_score(
+    queries: jnp.ndarray,  # [Q, D] bf16
+    corpus_t: jnp.ndarray,  # [D, N] bf16 (pre-transposed: lane dim = docs)
+    tile_q: int = 256,
+    tile_n: int = 512,
+) -> jnp.ndarray:
+    """Similarity scores [Q, N] in f32.  The corpus is stored transposed so the
+    doc axis lands on the 128-lane dimension and each grid cell is one MXU-
+    friendly (tile_q × D) @ (D × tile_n) product with D kept whole in VMEM
+    (D ≤ 4096 comfortably fits)."""
+    Q, D = queries.shape
+    _, N = corpus_t.shape
+    tile_q = min(tile_q, max(8, Q))
+    qp = _pad_dim(queries, 0, tile_q)
+    cp = _pad_dim(corpus_t, 1, tile_n)
+    Qp, Np = qp.shape[0], cp.shape[1]
+
+    grid = (Qp // tile_q, Np // tile_n)
+    out = pl.pallas_call(
+        _score_kernel,
+        out_shape=jax.ShapeDtypeStruct((Qp, Np), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_q, D), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, tile_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_q, tile_n), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * D * Np,
+            bytes_accessed=Qp * D * 2 + D * Np * 2 + Qp * Np * 4,
+            transcendentals=0,
+        ),
+    )(qp, cp)
+    return out[:Q, :N]
+
+
+def xla_score(queries: jnp.ndarray, corpus_t: jnp.ndarray) -> jnp.ndarray:
+    """Reference path (XLA-native dot); used on CPU backend and as a fallback."""
+    return jnp.dot(queries, corpus_t, preferred_element_type=jnp.float32)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------- #
+# Streaming top-k over a large corpus (single device)
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "vary_axis"))
+def topk_blocked(
+    queries: jnp.ndarray,  # [Q, D]
+    corpus_t: jnp.ndarray,  # [D, N] (transposed, same dtype as queries)
+    k: int,
+    block: int = 131072,
+    vary_axis: str | None = None,  # set when called inside shard_map
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over all N docs without materialising [Q, N] scores in HBM:
+    scan over doc blocks keeping a running (values, indices) top-k.  Replaces
+    the reference's per-chunk ``torch.topk`` + final merge
+    (``modules/retrieve.py:157-177``) with a single fused XLA loop."""
+    Q, D = queries.shape
+    N = corpus_t.shape[1]
+    k_eff = min(k, N)
+    block = max(min(block, N), k_eff)  # each block must hold at least k_eff
+    cp = _pad_dim(corpus_t, 1, block)  # padded docs score -inf via masking
+    Np = cp.shape[1]
+    n_blocks = Np // block
+
+    score_fn = pallas_score if _use_pallas() else xla_score
+
+    def body(carry, b):
+        run_v, run_i = carry
+        start = b * block
+        chunk = jax.lax.dynamic_slice(cp, (0, start), (D, block))
+        scores = score_fn(queries, chunk)  # [Q, block] f32
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (Q, block), 1)
+        scores = jnp.where(col < N, scores, -jnp.inf)
+        v, i = jax.lax.top_k(scores, k_eff)
+        idx = jnp.take_along_axis(col, i, axis=1)
+        cat_v = jnp.concatenate([run_v, v], axis=1)
+        cat_i = jnp.concatenate([run_i, idx], axis=1)
+        mv, mi = jax.lax.top_k(cat_v, k_eff)
+        return (mv, jnp.take_along_axis(cat_i, mi, axis=1)), None
+
+    init = (
+        jnp.full((Q, k_eff), -jnp.inf, jnp.float32),
+        jnp.zeros((Q, k_eff), jnp.int32),
+    )
+    if vary_axis is not None:
+        # inside shard_map the carry becomes varying over the mesh axis; the
+        # init must be cast to match (JAX >= 0.8 VMA rules)
+        init = jax.lax.pcast(init, (vary_axis,), to="varying")
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
+        idxs = jnp.pad(idxs, ((0, 0), (0, k - k_eff)))
+    return vals, idxs
+
+
+# --------------------------------------------------------------------------- #
+# Multi-chip: corpus sharded over mesh 'data' axis, merge over ICI
+# --------------------------------------------------------------------------- #
+
+
+def sharded_topk(
+    mesh: Mesh,
+    queries: jnp.ndarray,  # [Q, D] replicated
+    corpus_t_sharded: jnp.ndarray,  # [D, N] with N sharded over 'data'
+    k: int,
+    block: int = 131072,
+    valid_n: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed exact top-k: each device scores its resident corpus shard and
+    reduces to a local top-k; one all-gather of [Q, k] (val, idx) pairs over ICI
+    then a final top-k gives the exact global result (SURVEY.md §2.3 'distributed
+    top-k merge over ICI').  valid_n masks tail padding docs (global)."""
+    n_data = mesh.shape["data"]
+    N = corpus_t_sharded.shape[1]
+    shard_n = N // n_data
+    total_valid = valid_n if valid_n is not None else N
+
+    def local(q, shard):
+        # shard: [D, shard_n]; global offset of this device's shard
+        di = jax.lax.axis_index("data")
+        offset = di * shard_n
+        v, i = topk_blocked(q, shard, k, block=block, vary_axis="data")
+        gi = i + offset
+        valid = gi < total_valid
+        v = jnp.where(valid, v, -jnp.inf)
+        # gather every device's local top-k, then merge
+        av = jax.lax.all_gather(v, "data", axis=0)  # [n_data, Q, k]
+        ai = jax.lax.all_gather(gi, "data", axis=0)
+        av = jnp.swapaxes(av, 0, 1).reshape(q.shape[0], -1)  # [Q, n_data*k]
+        ai = jnp.swapaxes(ai, 0, 1).reshape(q.shape[0], -1)
+        mv, mi = jax.lax.top_k(av, k)
+        return mv, jnp.take_along_axis(ai, mi, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data")),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated post-all_gather; VMA can't infer it
+    )
+    return fn(queries, corpus_t_sharded)
+
+
+def shard_corpus(mesh: Mesh, corpus: np.ndarray, dtype=jnp.bfloat16):
+    """Host [N, D] → device-resident transposed [D, N'] bf16, N' padded to the
+    data-axis size and sharded over it. Returns (device_array, valid_n)."""
+    n_data = mesh.shape["data"]
+    N, D = corpus.shape
+    Np = _cdiv(N, n_data * 128) * n_data * 128
+    ct = np.zeros((D, Np), dtype=np.float32)
+    ct[:, :N] = corpus.T
+    arr = jnp.asarray(ct, dtype=dtype)
+    sharded = jax.device_put(arr, NamedSharding(mesh, P(None, "data")))
+    return sharded, N

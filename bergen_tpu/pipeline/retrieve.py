@@ -1,0 +1,155 @@
+"""Retrieve stage: corpus indexing + query-time search.
+
+Model-agnostic driver mirroring the reference ``modules/retrieve.py``:
+``index()`` encodes a corpus into embedding shards on disk (resumable at a
+batch boundary via ``continue_batch`` — reference :126-128), ``retrieve()``
+runs the search.  The engine differs by design (SURVEY.md §2.4 'corpus
+sharding'): instead of streaming 150k-doc chunks host→GPU per query batch
+(reference :147-185), the whole corpus is loaded **once** into TPU HBM,
+partitioned over the mesh ``data`` axis, and every query batch is scored by
+``ops.scoring.sharded_topk`` (Pallas GEMM + per-device top-k + ICI all-gather
+merge).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Dict
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from bergen_tpu import confy
+from bergen_tpu.ops import scoring
+from bergen_tpu.parallel import get_mesh
+
+CHUNK_DOCS = 150_000  # shard granularity on disk (reference retrieve.py:111)
+
+
+class Retrieve:
+    def __init__(
+        self,
+        init_args=None,
+        batch_size: int = 128,
+        batch_size_sim: int = 1024,
+        model=None,
+        pyserini_num_threads: int = 1,
+        continue_batch: int | None = None,
+    ):
+        self.model = model if model is not None else confy.instantiate(
+            init_args, batch_size=batch_size
+        )
+        self.batch_size = batch_size
+        self.batch_size_sim = batch_size_sim
+        self.continue_batch = continue_batch
+
+    # ------------------------------------------------------------------ #
+    # indexing
+    # ------------------------------------------------------------------ #
+
+    def index(self, dataset, query_or_doc: str, index_path: str) -> None:
+        """Encode dataset['content'] into fp16 ``embedding_chunk_{i}.npy``
+        shards under index_path; skips when the index is already complete."""
+        if self._index_complete(index_path, len(dataset)):
+            return
+        if os.path.exists(index_path) and self.continue_batch is None:
+            shutil.rmtree(index_path)  # partial/corrupt index → rebuild
+        os.makedirs(index_path, exist_ok=True)
+
+        texts = dataset["content"]
+        n = len(texts)
+        start = (self.continue_batch or 0) * self.batch_size
+        buf, buf_rows, chunk_id = [], 0, start // CHUNK_DOCS
+        for s in range(start, n, self.batch_size):
+            emb = self.model.encode(texts[s : s + self.batch_size], query_or_doc)
+            buf.append(emb.astype(np.float16))
+            buf_rows += emb.shape[0]
+            if buf_rows >= CHUNK_DOCS or s + self.batch_size >= n:
+                np.save(
+                    os.path.join(index_path, f"embedding_chunk_{chunk_id}.npy"),
+                    np.concatenate(buf, axis=0),
+                )
+                buf, buf_rows = [], 0
+                chunk_id += 1
+
+    @staticmethod
+    def _shard_files(index_path: str) -> list[str]:
+        files = glob.glob(os.path.join(index_path, "embedding_chunk_*.npy"))
+        return sorted(files, key=lambda p: int("".join(filter(str.isdigit, os.path.basename(p)))))
+
+    def _index_complete(self, index_path: str, expected_rows: int) -> bool:
+        files = self._shard_files(index_path)
+        if not files:
+            return False
+        rows = 0
+        for f in files:
+            rows += np.load(f, mmap_mode="r").shape[0]
+        return rows == expected_rows
+
+    def load_index(self, index_path: str, expected_rows: int | None = None) -> np.ndarray:
+        files = self._shard_files(index_path)
+        if not files:
+            raise RuntimeError(f"No embeddings found in {index_path}")
+        arr = np.concatenate([np.load(f) for f in files], axis=0).astype(np.float32)
+        if expected_rows is not None and arr.shape[0] != expected_rows:
+            raise RuntimeError(
+                f"Index {index_path} incomplete: {arr.shape[0]} != {expected_rows} "
+                "docs — delete the folder and re-index."
+            )
+        return arr
+
+    # ------------------------------------------------------------------ #
+    # search
+    # ------------------------------------------------------------------ #
+
+    def retrieve(
+        self,
+        dataset: Dict,
+        query_index_path: str,
+        doc_index_path: str,
+        top_k: int,
+        return_embeddings: bool = False,
+    ) -> Dict:
+        """Dense/sparse path: encode (or load) both sides, then mesh-sharded
+        exact top-k. Returns {q_ids, doc_ids, scores [np.ndarray]}."""
+        queries, docs = dataset["query"], dataset["doc"]
+
+        # BM25-style models implement their own search over raw text
+        if hasattr(self.model, "search"):
+            return self.model.search(queries, docs, top_k)
+
+        self.index(queries, "query", query_index_path)
+        self.index(docs, "doc", doc_index_path)
+        q_emb = self.load_index(query_index_path, len(queries))
+        d_emb = self.load_index(doc_index_path, len(docs))
+
+        mesh = get_mesh()
+        on_tpu = __import__("jax").default_backend() == "tpu"
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        corpus_dev, valid_n = scoring.shard_corpus(mesh, d_emb, dtype=dtype)
+
+        k = min(top_k, valid_n)
+        all_vals, all_idx = [], []
+        for s in range(0, q_emb.shape[0], self.batch_size_sim):
+            q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
+            vals, idxs = scoring.sharded_topk(
+                mesh, q, corpus_dev, k, valid_n=valid_n
+            )
+            all_vals.append(np.asarray(vals))
+            all_idx.append(np.asarray(idxs))
+        vals = np.concatenate(all_vals, axis=0)
+        idxs = np.concatenate(all_idx, axis=0)
+
+        doc_id_col = docs["id"]
+        out = {
+            "q_ids": queries["id"],
+            "doc_ids": [[doc_id_col[j] for j in row] for row in idxs],
+            "scores": vals,
+        }
+        if return_embeddings:
+            out["q_embs"] = q_emb
+            out["doc_embs"] = d_emb
+        return out

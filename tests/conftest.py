@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 os.environ.setdefault("HF_DATASETS_DISABLE_PROGRESS_BARS", "1")
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+# before any backend initialisation.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
