@@ -27,15 +27,18 @@ class UT1Queries(Processor):
         self.data_path = data_path or os.path.join(_utdata_dir(), "ut1_queries.tsv")
 
     def process(self):
-        ids, contents, labels = [], [], []
+        ids, contents, labels, ranking_labels = [], [], [], []
         with open(self.data_path) as f:
             for line in f:
-                qid, question, answer = (t.strip() for t in line.split("\t")[:3])
+                parts = [t.strip() for t in line.split("\t")]
+                qid, question, answer = parts[:3]
                 ids.append(qid)
                 contents.append(question)
                 labels.append([answer])
+                ranking_labels.append([parts[3]] if len(parts) > 3 else [qid])
         return datasets.Dataset.from_dict(
-            {"id": ids, "content": contents, "label": labels}
+            {"id": ids, "content": contents, "label": labels,
+             "ranking_label": ranking_labels}
         )
 
 

@@ -1,0 +1,121 @@
+"""JAX LLM generator — jitted prefill + scan decode, TP over the mesh.
+
+Stands in for both reference generator engines: the HF torch path
+(``models/generators/llm.py``: greedy ``model.generate``, left padding,
+bf16) and the vLLM engine (``models/generators/vllm.py``: tensor parallel).
+One generator class drives the Llama-family JAX model with a static-shape KV
+cache; tensor parallelism is a mesh axis (``tp`` arg), not a separate engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bergen_tpu.models import convert, llama
+from bergen_tpu.models.core import make_buckets, length_bucket
+from bergen_tpu.models.generators.base import Generator
+from bergen_tpu.parallel import get_mesh
+
+
+class LLM(Generator):
+    def __init__(
+        self,
+        model_name: str,
+        batch_size: int = 8,
+        max_new_tokens: int = 64,
+        max_doc_len: int = 10**10,
+        max_length: int | None = 2048,
+        use_middle_truncation: bool = False,
+        prompt=None,
+        quantization: str | None = None,  # accepted for config parity; bf16 on TPU
+        tp: int = 1,
+        **_ignored,
+    ):
+        super().__init__(
+            model_name=model_name, batch_size=batch_size,
+            max_new_tokens=max_new_tokens, max_doc_len=max_doc_len,
+            max_length=max_length, use_middle_truncation=use_middle_truncation,
+        )
+        from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
+
+        self.prompt = prompt
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.tokenizer.padding_side = "left"
+        # pad priority: bos > pad > eos (reference llm.py:86-92)
+        self.tokenizer.pad_token = (
+            self.tokenizer.bos_token
+            or self.tokenizer.pad_token
+            or self.tokenizer.eos_token
+        )
+
+        hf_cfg = AutoConfig.from_pretrained(model_name)
+        self.cfg = llama.LlamaConfig.from_hf(hf_cfg)
+
+        on_tpu = jax.default_backend() == "tpu"
+        self.dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        hf_model = AutoModelForCausalLM.from_pretrained(model_name)
+        params = convert.llama_from_hf(hf_model.state_dict(), self.cfg.num_layers)
+        del hf_model
+
+        self.mesh = get_mesh(model=tp)
+        params = convert.to_device_tree(params, dtype=self.dtype)
+        if tp > 1:
+            specs = llama.param_shardings(params)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                params, specs,
+                is_leaf=lambda x: isinstance(x, jnp.ndarray),
+            )
+        self.params = params
+        self.buckets = make_buckets(max_length or 2048)
+        cfg = self.cfg
+
+        def _gen_fn(params, input_ids, attention_mask, max_new_tokens,
+                    eos_token_id, pad_token_id, cache_dtype):
+            return llama.greedy_generate(
+                params, cfg, input_ids, attention_mask, max_new_tokens,
+                eos_token_id, pad_token_id, cache_dtype,
+            )
+
+        self._gen = jax.jit(
+            _gen_fn,
+            static_argnames=("max_new_tokens", "eos_token_id", "pad_token_id",
+                             "cache_dtype"),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _tokenize_left_pad(self, prompts: List[str]):
+        enc = self.tokenizer(
+            prompts, truncation=True, max_length=self.max_length, padding=False
+        )
+        lens = [len(x) for x in enc["input_ids"]]
+        bucket = length_bucket(max(lens), self.buckets)
+        pad_id = self.tokenizer.pad_token_id
+        B = len(prompts)
+        ii = np.full((B, bucket), pad_id, dtype=np.int32)
+        am = np.zeros((B, bucket), dtype=np.int32)
+        for r, ids in enumerate(enc["input_ids"]):
+            ids = ids[-bucket:]
+            ii[r, bucket - len(ids):] = ids
+            am[r, bucket - len(ids):] = 1
+        return ii, am
+
+    def generate(self, prompts: List[str]) -> List[str]:
+        ii, am = self._tokenize_left_pad(prompts)
+        toks = self._gen(
+            self.params,
+            input_ids=jnp.asarray(ii),
+            attention_mask=jnp.asarray(am),
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+            cache_dtype=self.dtype,
+        )
+        return self.tokenizer.batch_decode(np.asarray(toks), skip_special_tokens=True)

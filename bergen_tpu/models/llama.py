@@ -1,0 +1,301 @@
+"""Llama-family decoder (pure JAX) — the generator engine.
+
+Covers TinyLlama / Llama-2 / Mistral / SOLAR (all HF ``LlamaForCausalLM``-layout
+models the reference drives through torch+flash-attn or vLLM —
+``models/generators/llm.py``, ``vllm.py``).  TPU-first design:
+
+* functional forward over a params pytree; bf16 weights/activations, fp32
+  logits/softmax;
+* RoPE, GQA (num_kv_heads < num_heads), RMSNorm, SwiGLU;
+* a **static-shape KV cache** pytree `[B, max_len, kv_heads, head_dim]` with an
+  explicit write cursor, so prefill and the per-token decode step are each a
+  single jitted XLA program (no dynamic shapes, no Python in the loop —
+  `lax.scan`/`while_loop` drive decoding);
+* tensor-parallel PartitionSpecs over the mesh ``model`` axis (heads for
+  attention, ffn dim for the MLP), replacing vLLM's NCCL TP
+  (reference vllm.py:48-59).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from bergen_tpu.models.core import rmsnorm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    intermediate_size: int
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf(cls, hf_cfg) -> "LlamaConfig":
+        return cls(
+            vocab_size=hf_cfg.vocab_size,
+            hidden_size=hf_cfg.hidden_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            num_kv_heads=getattr(hf_cfg, "num_key_value_heads", None)
+            or hf_cfg.num_attention_heads,
+            intermediate_size=hf_cfg.intermediate_size,
+            max_position_embeddings=hf_cfg.max_position_embeddings,
+            rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+            rms_norm_eps=hf_cfg.rms_norm_eps,
+            tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+        )
+
+
+# --------------------------------------------------------------------------- #
+# RoPE
+# --------------------------------------------------------------------------- #
+
+
+def rope_frequencies(cfg: LlamaConfig) -> jnp.ndarray:
+    dim = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    return inv  # [dim/2]
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray):
+    """x: [B, S, H, Dh]; positions: [B, S]. HF 'interleaved-half' convention:
+    rotate_half(x) = (-x2, x1) with x split into two contiguous halves."""
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, Dh/2]
+    cos = jnp.cos(angles)[:, :, None, :]  # [B, S, 1, Dh/2]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# KV cache
+# --------------------------------------------------------------------------- #
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    return {
+        "k": jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "v": jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "cursor": jnp.zeros((), jnp.int32),
+    }
+
+
+def cache_shardings(model_axis: str = "model"):
+    """KV heads shard over the TP axis alongside the attention heads."""
+    return {
+        "k": P(None, None, None, model_axis, None),
+        "v": P(None, None, None, model_axis, None),
+        "cursor": P(),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# forward
+# --------------------------------------------------------------------------- #
+
+
+def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _attention(
+    layer: Params,
+    cfg: LlamaConfig,
+    x: jnp.ndarray,          # [B, S, D]
+    positions: jnp.ndarray,  # [B, S]
+    inv_freq: jnp.ndarray,
+    k_cache: jnp.ndarray,    # [B, L, KH, Dh]
+    v_cache: jnp.ndarray,
+    cursor: jnp.ndarray,     # scalar: write offset in cache
+    attn_mask: jnp.ndarray,  # [B, S, L] boolean — may attend
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    B, S, D = x.shape
+    H, KH, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = _proj(layer["attn"]["q"], x).reshape(B, S, H, Dh)
+    k = _proj(layer["attn"]["k"], x).reshape(B, S, KH, Dh)
+    v = _proj(layer["attn"]["v"], x).reshape(B, S, KH, Dh)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cursor, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cursor, 0, 0))
+
+    group = H // KH
+    qg = q.reshape(B, S, KH, group, Dh)
+    scores = jnp.einsum(
+        "bskgd,blkd->bkgsl", qg, k_cache, preferred_element_type=jnp.float32
+    ) / math.sqrt(Dh)
+    bias = jnp.where(attn_mask[:, None, None, :, :], 0.0, -1e30)
+    probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum(
+        "bkgsl,blkd->bskgd", probs, v_cache, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    ctx = ctx.reshape(B, S, H * Dh)
+    return _proj(layer["attn"]["o"], ctx), k_cache, v_cache
+
+
+def _mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    g = jax.nn.silu(_proj(layer["mlp"]["gate"], x))
+    u = _proj(layer["mlp"]["up"], x)
+    return _proj(layer["mlp"]["down"], g * u)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jnp.ndarray,   # [B, S]
+    positions: jnp.ndarray,   # [B, S]
+    cache: Dict[str, jnp.ndarray],
+    attn_mask: jnp.ndarray,   # [B, S, L] bool over cache slots
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One forward step (prefill: S=prompt_len; decode: S=1) writing K/V at
+    cache cursor. Returns (logits [B, S, V] f32, updated cache)."""
+    inv_freq = rope_frequencies(cfg)
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    cursor = cache["cursor"]
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = rmsnorm(layer["attn_norm"], x, cfg.rms_norm_eps)
+        a, k_c, v_c = _attention(
+            layer, cfg, h, positions, inv_freq,
+            cache["k"][li], cache["v"][li], cursor, attn_mask,
+        )
+        new_k.append(k_c)
+        new_v.append(v_c)
+        x = x + a
+        h = rmsnorm(layer["mlp_norm"], x, cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+
+    x = rmsnorm(params["final_norm"], x, cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings
+        logits = jnp.dot(
+            x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    else:
+        logits = jnp.dot(x, head["kernel"], preferred_element_type=jnp.float32)
+    new_cache = {
+        "k": jnp.stack(new_k),
+        "v": jnp.stack(new_v),
+        "cursor": cursor + input_ids.shape[1],
+    }
+    return logits, new_cache
+
+
+# --------------------------------------------------------------------------- #
+# greedy generation (static shapes; scan-driven decode)
+# --------------------------------------------------------------------------- #
+
+
+def greedy_generate(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jnp.ndarray,       # [B, S] LEFT-padded prompts
+    attention_mask: jnp.ndarray,  # [B, S] 1=real token
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    cache_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Batched greedy decoding (matches reference llm.py:134-148 semantics:
+    do_sample=False, stop per-sample on EOS, left padding).  Prefill is one
+    jitted call; decoding is a lax.scan of single-token steps over a
+    preallocated cache — the whole generate is two XLA programs."""
+    B, S = input_ids.shape
+    L = S + max_new_tokens
+    cache = init_cache(cfg, B, L, dtype=cache_dtype)
+
+    # positions: left-padded → position = cumsum(mask) - 1 (pads get 0)
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+    # prefill mask: causal over the prompt, excluding pads
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    prefill_mask = jnp.zeros((B, S, L), bool)
+    prefill_mask = prefill_mask.at[:, :, :S].set(
+        causal[None] & attention_mask[:, None, :].astype(bool)
+    )
+    logits, cache = forward(params, cfg, input_ids, positions, cache, prefill_mask)
+    next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    key_valid = jnp.concatenate(
+        [attention_mask.astype(bool), jnp.zeros((B, max_new_tokens), bool)], axis=1
+    )
+
+    def step(carry, t):
+        cache, tok, done, key_valid, pos = carry
+        tok_in = jnp.where(done, pad_token_id, tok)
+        key_valid = key_valid.at[:, S + t].set(True)
+        mask = key_valid[:, None, :]  # [B, 1, L]
+        logits, cache = forward(
+            params, cfg, tok_in[:, None], pos[:, None], cache, mask
+        )
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        out_tok = jnp.where(done, pad_token_id, tok)
+        done = done | (tok == eos_token_id)
+        return (cache, nxt, done, key_valid, pos + 1), out_tok
+
+    done0 = jnp.zeros((B,), bool)
+    pos0 = positions[:, -1] + 1
+    (_, last_tok, done, _, _), toks = jax.lax.scan(
+        step,
+        (cache, next_tok, done0, key_valid, pos0),
+        jnp.arange(max_new_tokens),
+    )
+    return jnp.swapaxes(toks, 0, 1)  # [B, max_new_tokens]
+
+
+# --------------------------------------------------------------------------- #
+# tensor-parallel shardings
+# --------------------------------------------------------------------------- #
+
+
+def param_shardings(params: Params, model_axis: str = "model") -> Params:
+    """PartitionSpec tree for TP over `model_axis`: attention heads and FFN
+    width sharded; per-token collectives inserted by XLA at o_proj/down_proj."""
+    def attn_spec(name):
+        return {"kernel": P(None, model_axis) if name != "o" else P(model_axis, None)}
+
+    out: Params = {
+        "embed": P(),
+        "final_norm": {"scale": P()},
+        "layers": [],
+    }
+    for _ in params["layers"]:
+        out["layers"].append(
+            {
+                "attn": {n: attn_spec(n) for n in ("q", "k", "v", "o")},
+                "attn_norm": {"scale": P()},
+                "mlp": {
+                    "gate": {"kernel": P(None, model_axis)},
+                    "up": {"kernel": P(None, model_axis)},
+                    "down": {"kernel": P(model_axis, None)},
+                },
+                "mlp_norm": {"scale": P()},
+            }
+        )
+    if "lm_head" in params:
+        out["lm_head"] = {"kernel": P(None, model_axis)}
+    return out

@@ -59,7 +59,14 @@ class Retrieve:
             shutil.rmtree(index_path)  # partial/corrupt index → rebuild
         os.makedirs(index_path, exist_ok=True)
 
-        texts = dataset["content"]
+        # queries encode the (possibly rewritten) generated_query column
+        # (reference models/retrievers/dense.py:50-56)
+        field = (
+            "generated_query"
+            if query_or_doc == "query" and "generated_query" in dataset.features
+            else "content"
+        )
+        texts = dataset[field]
         n = len(texts)
         start = (self.continue_batch or 0) * self.batch_size
         buf, buf_rows, chunk_id = [], 0, start // CHUNK_DOCS
@@ -143,13 +150,16 @@ class Retrieve:
         vals = np.concatenate(all_vals, axis=0)
         idxs = np.concatenate(all_idx, axis=0)
 
-        doc_id_col = docs["id"]
+        doc_id_col = list(docs["id"])
         out = {
-            "q_ids": queries["id"],
-            "doc_ids": [[doc_id_col[j] for j in row] for row in idxs],
-            "scores": vals,
+            "q_id": list(queries["id"]),
+            "doc_id": [[doc_id_col[j] for j in row] for row in idxs],
+            "score": vals,
         }
         if return_embeddings:
             out["q_embs"] = q_emb
             out["doc_embs"] = d_emb
         return out
+
+    def get_clean_model_name(self) -> str:
+        return self.model.get_clean_model_name()

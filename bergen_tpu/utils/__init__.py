@@ -28,8 +28,10 @@ from bergen_tpu import confy
 def get_by_id(dataset, ids, field: str | None = None):
     """Look up rows of an HF dataset by string id via its ``id2index`` side table.
     Returns the requested field values, or the integer indexes if no field."""
-    if not isinstance(ids, list):
+    if isinstance(ids, str):
         ids = [ids]
+    elif not isinstance(ids, list):
+        ids = list(ids)  # e.g. datasets Column
     idxs = [dataset.id2index[i] for i in ids if i in dataset.id2index]
     if field is not None:
         rows = dataset[idxs]

@@ -79,8 +79,8 @@ def main():
     rng.shuffle(docs)
 
     with open(os.path.join(OUT, "ut1_queries.tsv"), "w") as f:
-        for qid, q, a in queries:
-            f.write(f"{qid}\t{q}\t{a}\n")
+        for i, (qid, q, a) in enumerate(queries):
+            f.write(f"{qid}\t{q}\t{a}\td_gold_{i}\n")
     with open(os.path.join(OUT, "ut1_docs.tsv"), "w") as f:
         for did, text in docs:
             f.write(f"{did}\t{text}\n")

@@ -59,10 +59,10 @@ def test_index_and_retrieve_e2e(tiny_bert_dir, ut_datasets, tmp_path):
     qp = str(tmp_path / "qidx")
     dp = str(tmp_path / "didx")
     out = ret.retrieve(ut_datasets, qp, dp, top_k=20)
-    assert len(out["q_ids"]) == 50
-    assert all(len(d) == 20 for d in out["doc_ids"])
+    assert len(out["q_id"]) == 50
+    assert all(len(d) == 20 for d in out["doc_id"])
     # scores descending
-    s = out["scores"]
+    s = out["score"]
     assert np.all(np.diff(s, axis=1) <= 1e-6)
     # shards exist and reload completely
     assert os.path.exists(os.path.join(dp, "embedding_chunk_0.npy"))
@@ -72,7 +72,7 @@ def test_index_and_retrieve_e2e(tiny_bert_dir, ut_datasets, tmp_path):
     # second retrieve hits the index cache (delete model to prove no encoding)
     ret2 = Retrieve(model=r, batch_size=64, batch_size_sim=64)
     out2 = ret2.retrieve(ut_datasets, qp, dp, top_k=20)
-    np.testing.assert_allclose(out2["scores"], out["scores"], atol=1e-5)
+    np.testing.assert_allclose(out2["score"], out["score"], atol=1e-5)
 
     # brute-force agreement
     q_emb = ret.load_index(qp, 50)
@@ -83,6 +83,6 @@ def test_index_and_retrieve_e2e(tiny_bert_dir, ut_datasets, tmp_path):
 
     # TREC round trip
     trec = str(tmp_path / "run.trec")
-    utils.write_trec(trec, out["q_ids"], out["doc_ids"], out["scores"].tolist())
+    utils.write_trec(trec, out["q_id"], out["doc_id"], out["score"].tolist())
     q_ids, d_ids, scores = utils.load_trec(trec)
     assert len(q_ids) == 50 and len(d_ids[0]) == 20
