@@ -89,6 +89,19 @@ class LLM(Generator):
                              "cache_dtype"),
         )
 
+        def _prefill_logits_fn(params, input_ids, attention_mask):
+            B, S = input_ids.shape
+            cache = llama.init_cache(cfg, B, S, dtype=self.dtype)
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+            causal = jnp.tril(jnp.ones((S, S), bool))
+            mask = jnp.zeros((B, S, S), bool) | (
+                causal[None] & attention_mask[:, None, :].astype(bool)
+            )
+            logits, _ = llama.forward(params, cfg, input_ids, positions, cache, mask)
+            return logits[:, -1].astype(jnp.float32)  # next-token logits
+
+        self._prefill_logits = jax.jit(_prefill_logits_fn)
+
     # ------------------------------------------------------------------ #
 
     def _tokenize_left_pad(self, prompts: List[str]):
@@ -106,6 +119,16 @@ class LLM(Generator):
             ii[r, bucket - len(ids):] = ids
             am[r, bucket - len(ids):] = 1
         return ii, am
+
+    def first_token_logits(self, prompts: List[str]) -> np.ndarray:
+        """Logits over the vocab for the first to-be-generated token [B, V] —
+        the LLM-judge's logits-interpolation mode reads these
+        (reference models/evaluators/llm.py:165-180)."""
+        ii, am = self._tokenize_left_pad(prompts)
+        out = self._prefill_logits(
+            self.params, jnp.asarray(ii), jnp.asarray(am)
+        )
+        return np.asarray(out)
 
     def generate(self, prompts: List[str]) -> List[str]:
         ii, am = self._tokenize_left_pad(prompts)

@@ -66,6 +66,47 @@ class LlamaConfig:
 
 
 # --------------------------------------------------------------------------- #
+# init (tests / dry-runs; production weights come from convert.llama_from_hf)
+# --------------------------------------------------------------------------- #
+
+
+def init(key, cfg: LlamaConfig) -> Params:
+    def dense_w(k, d_in, d_out):
+        return {"kernel": jax.random.normal(k, (d_in, d_out), jnp.float32)
+                / math.sqrt(d_in)}
+
+    D, KV = cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    p: Params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, D), jnp.float32) * 0.02,
+        "final_norm": {"scale": jnp.ones((D,), jnp.float32)},
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        ks = jax.random.split(keys[i + 1], 7)
+        p["layers"].append(
+            {
+                "attn": {
+                    "q": dense_w(ks[0], D, D),
+                    "k": dense_w(ks[1], D, KV),
+                    "v": dense_w(ks[2], D, KV),
+                    "o": dense_w(ks[3], D, D),
+                },
+                "attn_norm": {"scale": jnp.ones((D,), jnp.float32)},
+                "mlp": {
+                    "gate": dense_w(ks[4], D, cfg.intermediate_size),
+                    "up": dense_w(ks[5], D, cfg.intermediate_size),
+                    "down": dense_w(ks[6], cfg.intermediate_size, D),
+                },
+                "mlp_norm": {"scale": jnp.ones((D,), jnp.float32)},
+            }
+        )
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = dense_w(keys[-1], D, cfg.vocab_size)
+    return p
+
+
+# --------------------------------------------------------------------------- #
 # RoPE
 # --------------------------------------------------------------------------- #
 

@@ -1,0 +1,109 @@
+"""SPLADE sparse retriever — MLM-head expansion, TPU-native scoring.
+
+Replaces reference ``models/retrievers/splade.py``: the BERT MLM backbone runs
+as a jitted JAX forward with the ``max(log1p(relu(logits))) * mask`` pooling
+(reference :42-43); document vectors are reduced to a fixed-width top-``nnz``
+sparse format for device-resident storage (ops/sparse.py) while queries stay
+dense [V] for the MXU GEMM scoring path."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bergen_tpu.models import bert, convert
+from bergen_tpu.models.core import make_buckets, length_bucket
+from bergen_tpu.models.retrievers.base import Retriever
+from bergen_tpu.ops import sparse as sparse_ops
+from bergen_tpu.parallel import get_mesh
+from bergen_tpu.parallel.mesh import pad_batch_to_devices
+
+
+class SpladeRetriever(Retriever):
+    is_sparse = True
+    similarity = "dot"
+
+    def __init__(
+        self,
+        model_name: str,
+        max_len: int = 256,
+        nnz: int = 256,
+        batch_size: int = 128,
+    ):
+        from transformers import AutoConfig, AutoModelForMaskedLM, AutoTokenizer
+
+        self.model_name = model_name
+        self.max_len = max_len
+        self.nnz = nnz
+        self.batch_size = batch_size
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        hf_cfg = AutoConfig.from_pretrained(model_name)
+        self.cfg = bert.BertConfig.from_hf(hf_cfg)
+
+        on_tpu = jax.default_backend() == "tpu"
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        hf_model = AutoModelForMaskedLM.from_pretrained(model_name)
+        self.params = convert.to_device_tree(
+            convert.bert_from_hf(hf_model.state_dict(), self.cfg.num_layers),
+            dtype=dtype,
+        )
+        del hf_model
+        self.mesh = get_mesh()
+        self.buckets = make_buckets(max_len)
+        cfg = self.cfg
+
+        @jax.jit
+        def encode(params, input_ids, attention_mask):
+            hidden = bert.encode(params, cfg, input_ids, attention_mask)
+            logits = bert.mlm_logits(params, cfg, hidden)
+            return bert.splade_pool(logits, attention_mask).astype(jnp.float32)
+
+        self._encode = encode
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.cfg.vocab_size
+
+    def _run_batch(self, texts: list[str]) -> np.ndarray:
+        enc = self.tokenizer(
+            texts, truncation=True, max_length=self.max_len, padding=False
+        )
+        lens = [len(x) for x in enc["input_ids"]]
+        bucket = length_bucket(max(lens), self.buckets)
+        pad_id = self.tokenizer.pad_token_id or 0
+        B = len(texts)
+        ii = np.full((B, bucket), pad_id, dtype=np.int32)
+        am = np.zeros((B, bucket), dtype=np.int32)
+        for r, ids in enumerate(enc["input_ids"]):
+            ids = ids[:bucket]
+            ii[r, : len(ids)] = ids
+            am[r, : len(ids)] = 1
+        n_dev = self.mesh.shape["data"] * self.mesh.shape["model"]
+        sharding = NamedSharding(self.mesh, P(("data", "model"), None))
+        ii, n = pad_batch_to_devices(ii, n_dev)
+        am, _ = pad_batch_to_devices(am, n_dev)
+        out = self._encode(
+            self.params,
+            jax.device_put(jnp.asarray(ii), sharding),
+            jax.device_put(jnp.asarray(am), sharding),
+        )
+        return np.asarray(out)[:n]
+
+    def encode(self, texts: list[str], query_or_doc: str) -> np.ndarray:
+        """Dense [B, V] sparse-activation vectors (used for queries and as the
+        source for fixed-width doc compression)."""
+        order = np.argsort([len(t) for t in texts], kind="stable")
+        out = np.zeros((len(texts), self.cfg.vocab_size), dtype=np.float32)
+        for s in range(0, len(texts), self.batch_size):
+            idx = order[s : s + self.batch_size]
+            out[idx] = self._run_batch([texts[i] for i in idx])
+        return out
+
+    def encode_sparse(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Fixed-width (vals, idx) for document storage."""
+        dense = self.encode(texts, "doc")
+        return sparse_ops.to_fixed_width(dense, self.nnz)

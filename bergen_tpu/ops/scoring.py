@@ -166,6 +166,39 @@ def topk_blocked(
 # --------------------------------------------------------------------------- #
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_topk_fn(mesh: Mesh, k: int, block: int):
+    """Build + jit the distributed top-k once per (mesh, k, block); jit caches
+    per shape. Un-jitted shard_map re-traces and re-ships operands every call —
+    catastrophic through a tunneled device."""
+    n_data = mesh.shape["data"]
+
+    def local(q, shard, valid_n):
+        # shard: [D, shard_n]; global offset of this device's shard
+        shard_n = shard.shape[1]
+        di = jax.lax.axis_index("data")
+        offset = di * shard_n
+        v, i = topk_blocked(q, shard, k, block=block, vary_axis="data")
+        gi = i + offset
+        v = jnp.where(gi < valid_n, v, -jnp.inf)
+        # gather every device's local top-k, then merge
+        av = jax.lax.all_gather(v, "data", axis=0)  # [n_data, Q, k]
+        ai = jax.lax.all_gather(gi, "data", axis=0)
+        av = jnp.swapaxes(av, 0, 1).reshape(q.shape[0], -1)  # [Q, n_data*k]
+        ai = jnp.swapaxes(ai, 0, 1).reshape(q.shape[0], -1)
+        mv, mi = jax.lax.top_k(av, k)
+        return mv, jnp.take_along_axis(ai, mi, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated post-all_gather; VMA can't infer it
+    )
+    return jax.jit(fn)
+
+
 def sharded_topk(
     mesh: Mesh,
     queries: jnp.ndarray,  # [Q, D] replicated
@@ -178,35 +211,10 @@ def sharded_topk(
     reduces to a local top-k; one all-gather of [Q, k] (val, idx) pairs over ICI
     then a final top-k gives the exact global result (SURVEY.md §2.3 'distributed
     top-k merge over ICI').  valid_n masks tail padding docs (global)."""
-    n_data = mesh.shape["data"]
     N = corpus_t_sharded.shape[1]
-    shard_n = N // n_data
-    total_valid = valid_n if valid_n is not None else N
-
-    def local(q, shard):
-        # shard: [D, shard_n]; global offset of this device's shard
-        di = jax.lax.axis_index("data")
-        offset = di * shard_n
-        v, i = topk_blocked(q, shard, k, block=block, vary_axis="data")
-        gi = i + offset
-        valid = gi < total_valid
-        v = jnp.where(valid, v, -jnp.inf)
-        # gather every device's local top-k, then merge
-        av = jax.lax.all_gather(v, "data", axis=0)  # [n_data, Q, k]
-        ai = jax.lax.all_gather(gi, "data", axis=0)
-        av = jnp.swapaxes(av, 0, 1).reshape(q.shape[0], -1)  # [Q, n_data*k]
-        ai = jnp.swapaxes(ai, 0, 1).reshape(q.shape[0], -1)
-        mv, mi = jax.lax.top_k(av, k)
-        return mv, jnp.take_along_axis(ai, mi, axis=1)
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(None, "data")),
-        out_specs=(P(), P()),
-        check_vma=False,  # outputs are replicated post-all_gather; VMA can't infer it
-    )
-    return fn(queries, corpus_t_sharded)
+    total_valid = N if valid_n is None else valid_n
+    fn = _sharded_topk_fn(mesh, k, min(block, N // mesh.shape["data"]))
+    return fn(queries, corpus_t_sharded, jnp.int32(total_valid))
 
 
 def shard_corpus(mesh: Mesh, corpus: np.ndarray, dtype=jnp.bfloat16):

@@ -50,9 +50,13 @@ class Retrieve:
     # indexing
     # ------------------------------------------------------------------ #
 
+    def _sparse_docs(self, query_or_doc: str) -> bool:
+        return query_or_doc == "doc" and getattr(self.model, "is_sparse", False)
+
     def index(self, dataset, query_or_doc: str, index_path: str) -> None:
         """Encode dataset['content'] into fp16 ``embedding_chunk_{i}.npy``
-        shards under index_path; skips when the index is already complete."""
+        shards (dense) or ``sparse_chunk_{i}.npz`` vals/idx shards (SPLADE
+        docs) under index_path; skips when the index is already complete."""
         if self._index_complete(index_path, len(dataset)):
             return
         if os.path.exists(index_path) and self.continue_batch is None:
@@ -68,23 +72,38 @@ class Retrieve:
         )
         texts = dataset[field]
         n = len(texts)
+        sparse = self._sparse_docs(query_or_doc)
         start = (self.continue_batch or 0) * self.batch_size
         buf, buf_rows, chunk_id = [], 0, start // CHUNK_DOCS
         for s in range(start, n, self.batch_size):
-            emb = self.model.encode(texts[s : s + self.batch_size], query_or_doc)
-            buf.append(emb.astype(np.float16))
-            buf_rows += emb.shape[0]
+            batch_texts = texts[s : s + self.batch_size]
+            if sparse:
+                vals, idx = self.model.encode_sparse(batch_texts)
+                buf.append((vals, idx))
+                buf_rows += vals.shape[0]
+            else:
+                emb = self.model.encode(batch_texts, query_or_doc)
+                buf.append(emb.astype(np.float16))
+                buf_rows += emb.shape[0]
             if buf_rows >= CHUNK_DOCS or s + self.batch_size >= n:
-                np.save(
-                    os.path.join(index_path, f"embedding_chunk_{chunk_id}.npy"),
-                    np.concatenate(buf, axis=0),
-                )
+                if sparse:
+                    np.savez(
+                        os.path.join(index_path, f"sparse_chunk_{chunk_id}.npz"),
+                        vals=np.concatenate([b[0] for b in buf], axis=0),
+                        idx=np.concatenate([b[1] for b in buf], axis=0),
+                    )
+                else:
+                    np.save(
+                        os.path.join(index_path, f"embedding_chunk_{chunk_id}.npy"),
+                        np.concatenate(buf, axis=0),
+                    )
                 buf, buf_rows = [], 0
                 chunk_id += 1
 
     @staticmethod
     def _shard_files(index_path: str) -> list[str]:
         files = glob.glob(os.path.join(index_path, "embedding_chunk_*.npy"))
+        files += glob.glob(os.path.join(index_path, "sparse_chunk_*.npz"))
         return sorted(files, key=lambda p: int("".join(filter(str.isdigit, os.path.basename(p)))))
 
     def _index_complete(self, index_path: str, expected_rows: int) -> bool:
@@ -93,8 +112,30 @@ class Retrieve:
             return False
         rows = 0
         for f in files:
-            rows += np.load(f, mmap_mode="r").shape[0]
+            if f.endswith(".npz"):
+                with np.load(f) as z:
+                    rows += z["vals"].shape[0]
+            else:
+                rows += np.load(f, mmap_mode="r").shape[0]
         return rows == expected_rows
+
+    def load_sparse_index(self, index_path: str, expected_rows: int | None = None):
+        files = [f for f in self._shard_files(index_path) if f.endswith(".npz")]
+        if not files:
+            raise RuntimeError(f"No sparse embeddings found in {index_path}")
+        vals_l, idx_l = [], []
+        for f in files:
+            with np.load(f) as z:
+                vals_l.append(z["vals"])
+                idx_l.append(z["idx"])
+        vals = np.concatenate(vals_l, axis=0)
+        idx = np.concatenate(idx_l, axis=0)
+        if expected_rows is not None and vals.shape[0] != expected_rows:
+            raise RuntimeError(
+                f"Sparse index {index_path} incomplete: {vals.shape[0]} != "
+                f"{expected_rows} docs — delete the folder and re-index."
+            )
+        return vals, idx
 
     def load_index(self, index_path: str, expected_rows: int | None = None) -> np.ndarray:
         files = self._shard_files(index_path)
@@ -126,25 +167,44 @@ class Retrieve:
 
         # BM25-style models implement their own search over raw text
         if hasattr(self.model, "search"):
+            index_file = os.path.join(doc_index_path, "bm25.idx")
+            if not os.path.exists(index_file):
+                self.model.build_index(list(docs["content"]), index_file)
+            self.model.open_index(index_file)
             return self.model.search(queries, docs, top_k)
 
         self.index(queries, "query", query_index_path)
         self.index(docs, "doc", doc_index_path)
         q_emb = self.load_index(query_index_path, len(queries))
-        d_emb = self.load_index(doc_index_path, len(docs))
 
         mesh = get_mesh()
         on_tpu = __import__("jax").default_backend() == "tpu"
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        corpus_dev, valid_n = scoring.shard_corpus(mesh, d_emb, dtype=dtype)
+        sparse = self._sparse_docs("doc")
+        if sparse:
+            from bergen_tpu.ops import sparse as sparse_ops
+
+            d_vals, d_idx = self.load_sparse_index(doc_index_path, len(docs))
+            vals_dev, idx_dev, valid_n = sparse_ops.shard_sparse_corpus(
+                mesh, d_vals, d_idx, dtype=dtype
+            )
+            vocab = q_emb.shape[1]
+        else:
+            d_emb = self.load_index(doc_index_path, len(docs))
+            corpus_dev, valid_n = scoring.shard_corpus(mesh, d_emb, dtype=dtype)
 
         k = min(top_k, valid_n)
         all_vals, all_idx = [], []
         for s in range(0, q_emb.shape[0], self.batch_size_sim):
             q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
-            vals, idxs = scoring.sharded_topk(
-                mesh, q, corpus_dev, k, valid_n=valid_n
-            )
+            if sparse:
+                vals, idxs = sparse_ops.sharded_sparse_topk(
+                    mesh, q, vals_dev, idx_dev, k, vocab, valid_n=valid_n
+                )
+            else:
+                vals, idxs = scoring.sharded_topk(
+                    mesh, q, corpus_dev, k, valid_n=valid_n
+                )
             all_vals.append(np.asarray(vals))
             all_idx.append(np.asarray(idxs))
         vals = np.concatenate(all_vals, axis=0)
