@@ -157,6 +157,13 @@ def cache_shardings(model_axis: str = "model"):
 
 def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if "lora_a" in p:  # LoRA adapter path (train/lora.py): y += x@A@B * scale
+        y = y + jnp.dot(
+            jnp.dot(x, p["lora_a"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype),
+            p["lora_b"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * p["lora_scale"]
     return y.astype(x.dtype)
 
 
