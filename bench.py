@@ -54,10 +54,12 @@ def main():
     from functools import partial
 
     @partial(jax.jit, static_argnames=("n_iters",))
-    def chained(qq, n_iters):
+    def chained(qq, corpus, n_iters):
+        # corpus must be an ARGUMENT: a closed-over device array would be
+        # baked into the program as a giant constant.
         def body(_, carry):
             acc, cur = carry
-            v, _ = scoring.sharded_topk(mesh, cur, corpus_dev, TOP_K,
+            v, _ = scoring.sharded_topk(mesh, cur, corpus, TOP_K,
                                         valid_n=valid_n)
             top = v[0, 0]
             return acc + top, qq + (top * 0).astype(qq.dtype)
@@ -66,13 +68,13 @@ def main():
         return acc
 
     n_iters = 32 if on_tpu else 2
-    float(chained(q, 1))  # compile + warm both shapes
-    float(chained(q, n_iters))
+    float(chained(q, corpus_dev, 1))  # compile + warm both shapes
+    float(chained(q, corpus_dev, n_iters))
     t0 = time.perf_counter()
-    float(chained(q, 1))
+    float(chained(q, corpus_dev, 1))
     t_rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chained(q, n_iters))
+    float(chained(q, corpus_dev, n_iters))
     t_total = time.perf_counter() - t0
     dt = max((t_total - t_rtt) / (n_iters - 1), 1e-9)
     qps = Q_BATCH / dt

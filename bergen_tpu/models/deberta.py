@@ -1,0 +1,263 @@
+"""DeBERTa-v2/v3 encoder (pure JAX) — disentangled attention.
+
+The reference's default reranker is ``naver/trecdl22-crossencoder-debertav3``
+(config/reranker/debertav3.yaml) and Provence is DeBERTa-based.  This is a
+faithful JAX implementation of HF ``DebertaV2Model`` numerics: log-bucket
+relative positions, shared-key c2p/p2c disentangled attention with
+1/sqrt(d*scale_factor) scaling, layer-normed shared relative embeddings,
+optional absolute-position embedding (off for v3), ContextPooler
+classification head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bergen_tpu.models.core import ACT_FNS, dense, layernorm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DebertaConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    max_position_embeddings: int
+    type_vocab_size: int = 0
+    position_buckets: int = 256
+    max_relative_positions: int = -1
+    pos_att_type: tuple = ("p2c", "c2p")
+    position_biased_input: bool = False
+    share_att_key: bool = True
+    norm_rel_ebd: str = "layer_norm"
+    layer_norm_eps: float = 1e-7
+    hidden_act: str = "gelu"
+    pooler_hidden_act: str = "gelu"
+
+    @property
+    def rel_max(self) -> int:
+        m = self.max_relative_positions
+        return self.max_position_embeddings if m < 1 else m
+
+    @property
+    def att_span(self) -> int:
+        return self.position_buckets if self.position_buckets > 0 else self.rel_max
+
+    @classmethod
+    def from_hf(cls, hf):
+        return cls(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            intermediate_size=hf.intermediate_size,
+            max_position_embeddings=hf.max_position_embeddings,
+            type_vocab_size=hf.type_vocab_size,
+            position_buckets=getattr(hf, "position_buckets", -1),
+            max_relative_positions=getattr(hf, "max_relative_positions", -1),
+            pos_att_type=tuple(getattr(hf, "pos_att_type", []) or []),
+            position_biased_input=getattr(hf, "position_biased_input", True),
+            share_att_key=getattr(hf, "share_att_key", False),
+            norm_rel_ebd=getattr(hf, "norm_rel_ebd", "none"),
+            layer_norm_eps=hf.layer_norm_eps,
+            hidden_act=hf.hidden_act,
+            pooler_hidden_act=getattr(hf, "pooler_hidden_act", "gelu"),
+        )
+
+
+# --------------------------------------------------------------------------- #
+# relative positions
+# --------------------------------------------------------------------------- #
+
+
+def make_log_bucket_position(rel: jnp.ndarray, bucket_size: int,
+                             max_position: int) -> jnp.ndarray:
+    sign = jnp.sign(rel)
+    mid = bucket_size // 2
+    abs_pos = jnp.where((rel < mid) & (rel > -mid), mid - 1, jnp.abs(rel))
+    log_pos = (
+        jnp.ceil(
+            jnp.log(abs_pos.astype(jnp.float32) / mid)
+            / math.log((max_position - 1) / mid)
+            * (mid - 1)
+        )
+        + mid
+    )
+    return jnp.where(abs_pos <= mid, rel, (log_pos * sign).astype(rel.dtype))
+
+
+def build_relative_position(seq_len: int, cfg: DebertaConfig) -> jnp.ndarray:
+    ids = jnp.arange(seq_len)
+    rel = ids[:, None] - ids[None, :]
+    if cfg.position_buckets > 0 and cfg.rel_max > 0:
+        rel = make_log_bucket_position(rel, cfg.position_buckets, cfg.rel_max)
+    return rel.astype(jnp.int32)  # [S, S]
+
+
+# --------------------------------------------------------------------------- #
+# attention
+# --------------------------------------------------------------------------- #
+
+
+def _heads(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    B, S, D = x.shape
+    return x.reshape(B, S, n, D // n)
+
+
+def disentangled_attention(layer: Params, cfg: DebertaConfig, x, attention_mask,
+                           rel_pos, rel_emb):
+    """x: [B, S, D]; rel_pos [S, S]; rel_emb [2*att_span, D] (pre-normed)."""
+    B, S, D = x.shape
+    H = cfg.num_heads
+    Dh = D // H
+    scale_factor = 1 + ("c2p" in cfg.pos_att_type) + ("p2c" in cfg.pos_att_type)
+    scale = math.sqrt(Dh * scale_factor)
+
+    q = _heads(dense(layer["q"], x), H)
+    k = _heads(dense(layer["k"], x), H)
+    v = _heads(dense(layer["v"], x), H)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / scale
+
+    span = cfg.att_span
+    if cfg.pos_att_type:
+        # shared projections on relative embeddings [2*span, D]
+        pos_q = _heads(dense(layer["q"], rel_emb[None]), H)[0]  # [2span, H, Dh]
+        pos_k = _heads(dense(layer["k"], rel_emb[None]), H)[0]
+        if "c2p" in cfg.pos_att_type:
+            c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
+                             preferred_element_type=jnp.float32)
+            c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # [S, S]
+            gathered = jnp.take_along_axis(
+                c2p, jnp.broadcast_to(c2p_pos[None, None], (B, H, S, S)), axis=-1
+            )
+            scores = scores + gathered / scale
+        if "p2c" in cfg.pos_att_type:
+            p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
+                             preferred_element_type=jnp.float32)
+            p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
+            gathered = jnp.take_along_axis(
+                p2c, jnp.broadcast_to(p2c_pos[None, None], (B, H, S, S)), axis=-1
+            )
+            scores = scores + jnp.swapaxes(gathered, -1, -2) / scale
+
+    bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)
+    probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return dense(layer["o"], ctx.reshape(B, S, D))
+
+
+# --------------------------------------------------------------------------- #
+# model
+# --------------------------------------------------------------------------- #
+
+
+def encode(params: Params, cfg: DebertaConfig, input_ids, attention_mask,
+           token_type_ids=None):
+    B, S = input_ids.shape
+    emb = params["embeddings"]
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    if cfg.position_biased_input and "position" in emb:
+        x = x + emb["position"][None, :S]
+    if cfg.type_vocab_size > 0 and token_type_ids is not None:
+        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    x = layernorm(emb["ln"], x, cfg.layer_norm_eps)
+    x = x * attention_mask[..., None].astype(x.dtype)
+
+    rel_pos = build_relative_position(S, cfg)
+    if "rel_embeddings" in params:
+        rel_emb = params["rel_embeddings"][: 2 * cfg.att_span]
+        if "layer_norm" in cfg.norm_rel_ebd:
+            rel_emb = layernorm(params["rel_ln"], rel_emb, cfg.layer_norm_eps)
+    else:
+        rel_emb = None
+
+    act = ACT_FNS[cfg.hidden_act]
+    for layer in params["layers"]:
+        a = disentangled_attention(
+            layer["attn"], cfg, x, attention_mask, rel_pos, rel_emb
+        )
+        x = layernorm(layer["attn_ln"], x + a, cfg.layer_norm_eps)
+        h = act(dense(layer["mlp_in"], x))
+        h = dense(layer["mlp_out"], h)
+        x = layernorm(layer["mlp_ln"], x + h, cfg.layer_norm_eps)
+    return x
+
+
+def classify(params, cfg: DebertaConfig, input_ids, attention_mask,
+             token_type_ids=None):
+    """ContextPooler (dense+act on CLS) + classifier → [B, num_labels]."""
+    hidden = encode(params, cfg, input_ids, attention_mask, token_type_ids)
+    pooled = ACT_FNS[cfg.pooler_hidden_act](dense(params["pooler"], hidden[:, 0]))
+    return dense(params["classifier"], pooled)
+
+
+# --------------------------------------------------------------------------- #
+# conversion
+# --------------------------------------------------------------------------- #
+
+
+def deberta_from_hf(state_dict, num_layers: int) -> Params:
+    def t(x):
+        return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("deberta."):] if k.startswith("deberta.") else k] = v
+
+    def lin(prefix):
+        p = {"kernel": t(sd[prefix + ".weight"]).T}
+        if prefix + ".bias" in sd:
+            p["bias"] = t(sd[prefix + ".bias"])
+        return p
+
+    def ln(prefix):
+        return {"scale": t(sd[prefix + ".weight"]), "bias": t(sd[prefix + ".bias"])}
+
+    p: Params = {
+        "embeddings": {
+            "word": t(sd["embeddings.word_embeddings.weight"]),
+            "ln": ln("embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    if "encoder.rel_embeddings.weight" in sd:
+        p["rel_embeddings"] = t(sd["encoder.rel_embeddings.weight"])
+    if "embeddings.position_embeddings.weight" in sd:
+        p["embeddings"]["position"] = t(sd["embeddings.position_embeddings.weight"])
+    if "embeddings.token_type_embeddings.weight" in sd:
+        p["embeddings"]["token_type"] = t(sd["embeddings.token_type_embeddings.weight"])
+    if "encoder.LayerNorm.weight" in sd:
+        p["rel_ln"] = ln("encoder.LayerNorm")
+    for i in range(num_layers):
+        pre = f"encoder.layer.{i}"
+        p["layers"].append(
+            {
+                "attn": {
+                    "q": lin(f"{pre}.attention.self.query_proj"),
+                    "k": lin(f"{pre}.attention.self.key_proj"),
+                    "v": lin(f"{pre}.attention.self.value_proj"),
+                    "o": lin(f"{pre}.attention.output.dense"),
+                },
+                "attn_ln": ln(f"{pre}.attention.output.LayerNorm"),
+                "mlp_in": lin(f"{pre}.intermediate.dense"),
+                "mlp_out": lin(f"{pre}.output.dense"),
+                "mlp_ln": ln(f"{pre}.output.LayerNorm"),
+            }
+        )
+    if "pooler.dense.weight" in sd:
+        p["pooler"] = lin("pooler.dense")
+    if "classifier.weight" in sd:
+        p["classifier"] = lin("classifier")
+    return p

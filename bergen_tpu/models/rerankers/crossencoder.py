@@ -29,15 +29,27 @@ class CrossEncoder:
         self.max_len = max_len
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
         hf_cfg = AutoConfig.from_pretrained(model_name)
-        self.cfg = bert.BertConfig.from_hf(hf_cfg)
 
         on_tpu = jax.default_backend() == "tpu"
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
         hf_model = AutoModelForSequenceClassification.from_pretrained(model_name)
-        self.params = convert.to_device_tree(
-            convert.bert_from_hf(hf_model.state_dict(), self.cfg.num_layers),
-            dtype=dtype,
-        )
+
+        # architecture dispatch: deberta-v2/v3 (the reference's default
+        # reranker family) vs BERT-alikes
+        if getattr(hf_cfg, "model_type", "") == "deberta-v2":
+            from bergen_tpu.models import deberta
+
+            self.cfg = deberta.DebertaConfig.from_hf(hf_cfg)
+            params = deberta.deberta_from_hf(
+                hf_model.state_dict(), self.cfg.num_layers
+            )
+            classify = deberta.classify
+        else:
+            self.cfg = bert.BertConfig.from_hf(hf_cfg)
+            params = convert.bert_from_hf(hf_model.state_dict(),
+                                          self.cfg.num_layers)
+            classify = bert.classify
+        self.params = convert.to_device_tree(params, dtype=dtype)
         del hf_model
         self.mesh = get_mesh()
         self.buckets = make_buckets(max_len)
@@ -45,8 +57,8 @@ class CrossEncoder:
 
         @jax.jit
         def score(params, input_ids, attention_mask, token_type_ids):
-            logits = bert.classify(params, cfg, input_ids, attention_mask,
-                                   token_type_ids)
+            logits = classify(params, cfg, input_ids, attention_mask,
+                              token_type_ids)
             return logits[:, 0].astype(jnp.float32)
 
         self._score = score
