@@ -217,11 +217,18 @@ def forward(
     positions: jnp.ndarray,   # [B, S]
     cache: Dict[str, jnp.ndarray],
     attn_mask: jnp.ndarray,   # [B, S, L] bool over cache slots
+    input_embeds: jnp.ndarray | None = None,  # [B, S, D] overrides embedding
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One forward step (prefill: S=prompt_len; decode: S=1) writing K/V at
-    cache cursor. Returns (logits [B, S, V] f32, updated cache)."""
+    cache cursor. Returns (logits [B, S, V] f32, updated cache).
+    ``input_embeds`` lets compression generators (COCOM memory tokens, xRAG
+    embedding injection) feed soft prompts instead of token ids."""
     inv_freq = rope_frequencies(cfg)
-    x = jnp.take(params["embed"], input_ids, axis=0)
+    x = (
+        input_embeds
+        if input_embeds is not None
+        else jnp.take(params["embed"], input_ids, axis=0)
+    )
     cursor = cache["cursor"]
 
     new_k, new_v = [], []
@@ -267,6 +274,7 @@ def greedy_generate(
     eos_token_id: int,
     pad_token_id: int,
     cache_dtype=jnp.bfloat16,
+    input_embeds: jnp.ndarray | None = None,  # soft-prompt override [B, S, D]
 ) -> jnp.ndarray:
     """Batched greedy decoding (matches reference llm.py:134-148 semantics:
     do_sample=False, stop per-sample on EOS, left padding).  Prefill is one
@@ -285,7 +293,8 @@ def greedy_generate(
     prefill_mask = prefill_mask.at[:, :, :S].set(
         causal[None] & attention_mask[:, None, :].astype(bool)
     )
-    logits, cache = forward(params, cfg, input_ids, positions, cache, prefill_mask)
+    logits, cache = forward(params, cfg, input_ids, positions, cache,
+                            prefill_mask, input_embeds=input_embeds)
     next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     key_valid = jnp.concatenate(
