@@ -154,41 +154,55 @@ class RAG:
         doc_dataset_name = (
             dataset["doc"].name if dataset.get("doc") is not None else None
         )
+        timer = utils.StageTimer()
 
-        if self.retriever is not None:
-            dataset = self.generate_query(dataset, query_dataset_name, dataset_split)
-            query_ids, doc_ids, _ = self.retrieve(
-                dataset, query_dataset_name, doc_dataset_name, dataset_split,
-                self.retrieve_top_k,
+        with utils.maybe_profile(self.experiment_folder):
+            if self.retriever is not None:
+                with timer.track("generate_query"):
+                    dataset = self.generate_query(
+                        dataset, query_dataset_name, dataset_split
+                    )
+                with timer.track("retrieve"):
+                    query_ids, doc_ids, _ = self.retrieve(
+                        dataset, query_dataset_name, doc_dataset_name,
+                        dataset_split, self.retrieve_top_k,
+                    )
+            else:
+                query_ids, doc_ids = None, None
+
+            if self.reranker is not None and doc_ids is not None:
+                with timer.track("rerank"):
+                    query_ids, doc_ids, _ = self.rerank(
+                        dataset, query_dataset_name, doc_dataset_name,
+                        dataset_split, query_ids, doc_ids, self.rerank_top_k,
+                    )
+
+            if doc_ids is not None:
+                doc_ids = [d[: self.generation_top_k] for d in doc_ids]
+
+            gen_dataset = utils.prepare_dataset_from_ids(
+                dataset, query_ids, doc_ids, multi_doc=True,
+                query_field="content", oracle_provenance=self.oracle_provenance,
             )
-        else:
-            query_ids, doc_ids = None, None
 
-        if self.reranker is not None and doc_ids is not None:
-            query_ids, doc_ids, _ = self.rerank(
-                dataset, query_dataset_name, doc_dataset_name, dataset_split,
-                query_ids, doc_ids, self.rerank_top_k,
-            )
+            if self.context_processor is not None and self.retriever is not None:
+                with timer.track("process_context"):
+                    gen_dataset = self.process_context(
+                        gen_dataset, query_dataset_name, doc_dataset_name,
+                        dataset_split,
+                    )
 
-        if doc_ids is not None:
-            doc_ids = [d[: self.generation_top_k] for d in doc_ids]
+            if self.generator is not None:
+                with timer.track("generate"):
+                    questions, _, predictions, references = self.generate(
+                        gen_dataset, dataset_split
+                    )
+                with timer.track("metrics"):
+                    self.eval_metrics(
+                        dataset_split, questions, predictions, references
+                    )
 
-        gen_dataset = utils.prepare_dataset_from_ids(
-            dataset, query_ids, doc_ids, multi_doc=True, query_field="content",
-            oracle_provenance=self.oracle_provenance,
-        )
-
-        if self.context_processor is not None and self.retriever is not None:
-            gen_dataset = self.process_context(
-                gen_dataset, query_dataset_name, doc_dataset_name, dataset_split
-            )
-
-        if self.generator is not None:
-            questions, _, predictions, references = self.generate(
-                gen_dataset, dataset_split
-            )
-            self.eval_metrics(dataset_split, questions, predictions, references)
-
+        timer.write(self.experiment_folder, dataset_split)
         utils.move_finished_experiment(self.experiment_folder)
 
     # ------------------------------------------------------------------ #

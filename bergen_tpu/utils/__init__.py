@@ -200,6 +200,61 @@ def get_context_processing_filename(
 # --------------------------------------------------------------------------- #
 
 
+def print_device_memory() -> None:
+    """Device HBM usage (stands in for reference utils.py:455-478
+    print_gpu_memory / nvidia-smi)."""
+    import jax
+
+    for dev in jax.local_devices():
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 2**30
+            limit = stats.get("bytes_limit", 0) / 2**30
+            print(f"{dev}: {used:.2f} / {limit:.2f} GiB HBM in use")
+        else:
+            print(f"{dev}: no memory stats available")
+
+
+class StageTimer:
+    """Per-stage wall-clock accounting written to
+    eval_{split}_stage_times.json (SURVEY.md §5: the reference only records
+    generation time; the TPU build times every stage)."""
+
+    def __init__(self):
+        self.times: dict[str, float] = {}
+
+    def track(self, stage: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.times[stage] = self.times.get(stage, 0.0) + (
+                    time.perf_counter() - t0
+                )
+
+        return _cm()
+
+    def write(self, folder: str, split: str) -> None:
+        payload = {k: round(v, 3) for k, v in self.times.items()}
+        write_dict(folder, f"eval_{split}_stage_times.json", payload)
+
+
+def maybe_profile(experiment_folder: str):
+    """jax.profiler trace context, enabled by BERGEN_TPU_PROFILE=1; trace goes
+    to <experiment>/profile for tensorboard/xprof."""
+    import contextlib
+
+    if os.environ.get("BERGEN_TPU_PROFILE") != "1":
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(os.path.join(experiment_folder, "profile"))
+
+
 def hash_config(config) -> str:
     """Deterministic run-name hash of the full config (stands in for
     datasets.fingerprint.Hasher at reference utils.py:305)."""
