@@ -167,6 +167,19 @@ def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+# Flash-attention prefill switch: None = auto (Pallas kernel on TPU, einsum
+# elsewhere); True/False force. Decode steps (S=1) always use the einsum path.
+USE_FLASH_PREFILL: bool | None = None
+
+
+def _flash_enabled(S: int) -> bool:
+    if S <= 1:
+        return False
+    if USE_FLASH_PREFILL is not None:
+        return USE_FLASH_PREFILL
+    return jax.default_backend() == "tpu"
+
+
 def _attention(
     layer: Params,
     cfg: LlamaConfig,
@@ -189,6 +202,18 @@ def _attention(
 
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cursor, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cursor, 0, 0))
+
+    if _flash_enabled(S):
+        # prefill (cursor==0): slot-causal + key-validity; the last query row
+        # of attn_mask is exactly the key-validity vector
+        from bergen_tpu.ops.flash_attention import flash_attention
+
+        k_valid = attn_mask[:, -1, :].astype(jnp.float32)  # [B, L]
+        ctx = flash_attention(
+            q, k_cache, v_cache, k_valid, causal=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return _proj(layer["attn"]["o"], ctx.reshape(B, S, H * Dh)), k_cache, v_cache
 
     group = H // KH
     qg = q.reshape(B, S, KH, group, Dh)
