@@ -335,8 +335,10 @@ class RAG:
             self.context_processor.get_clean_model_name(),
         )
         if not os.path.exists(fname) or self.overwrite_exp or self.overwrite_index:
+            contexts = [list(d) for d in gen_dataset["doc"]]
+            queries = list(gen_dataset["query"])
             processed, context_metrics = self.context_processor.eval(
-                gen_dataset["doc"], gen_dataset["query"]
+                contexts, queries
             )
             os.makedirs(self.processed_context_folder, exist_ok=True)
             with open(fname, "w") as fp:
@@ -344,8 +346,8 @@ class RAG:
                     {
                         "processed_contexts": processed,
                         "context_metrics": context_metrics,
-                        "original_contexts": gen_dataset["doc"],
-                        "queries": gen_dataset["query"],
+                        "original_contexts": contexts,
+                        "queries": queries,
                     },
                     fp,
                 )
