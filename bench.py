@@ -45,34 +45,37 @@ def main():
     corpus_dev, valid_n = scoring.shard_corpus(mesh, corpus, dtype=dtype)
     q = jnp.asarray(queries, dtype=dtype)
 
-    # Through the tunneled device, block_until_ready does not reliably await
-    # completion and any readback pays ~150 ms of RTT. Measure honestly by
-    # dispatching K jitted scoring calls asynchronously, then forcing
-    # completion of ALL of them with one tiny dependent reduction + a single
-    # scalar readback.  Per-batch time = (t(K) - t(1)) / (K - 1) cancels the
-    # constant dispatch/readback RTT.
-    rngs = np.random.default_rng(1)
-    qs = [
-        jnp.asarray(rngs.normal(size=(Q_BATCH, DIM)), dtype) for _ in range(4)
-    ]
+    # Through the tunneled device, every dispatch/readback pays ~120 ms of
+    # RTT and block_until_ready does not reliably await completion.  Measure
+    # pure device throughput with a SINGLE jitted program that runs n
+    # dependent scoring iterations in an internal fori_loop (queries perturbed
+    # by the previous result to force sequential execution) and returns one
+    # scalar: t(n) and t(1) are each one dispatch+readback, so
+    # (t(n) - t(1)) / (n - 1) cancels the RTT exactly.
+    from functools import partial
 
-    def run(k):
-        tops = []
-        for i in range(k):
-            v, _ = scoring.sharded_topk(
-                mesh, qs[i % len(qs)], corpus_dev, TOP_K, valid_n=valid_n
-            )
-            tops.append(v[0, 0])
-        return float(jnp.stack(tops).sum())  # depends on every batch
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def chained(qq, corpus, n_iters):
+        # corpus must be an ARGUMENT: a closed-over device array would be
+        # baked into the program as a giant constant.
+        def body(_, carry):
+            acc, cur = carry
+            v, _ = scoring.sharded_topk(mesh, cur, corpus, TOP_K,
+                                        valid_n=valid_n)
+            top = v[0, 0]
+            return acc + top, qq + (top * 0).astype(qq.dtype)
 
-    n_iters = 33 if on_tpu else 2
-    run(1)  # compile + warm
-    run(n_iters)
+        acc, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.float32(0.0), qq))
+        return acc
+
+    n_iters = 17 if on_tpu else 2
+    float(chained(q, corpus_dev, 1))  # compile + warm both shapes
+    float(chained(q, corpus_dev, n_iters))
     t0 = time.perf_counter()
-    run(1)
+    float(chained(q, corpus_dev, 1))
     t_rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run(n_iters)
+    float(chained(q, corpus_dev, n_iters))
     t_total = time.perf_counter() - t0
     dt = max((t_total - t_rtt) / (n_iters - 1), 1e-9)
     qps = Q_BATCH / dt
