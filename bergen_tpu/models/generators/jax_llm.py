@@ -67,9 +67,18 @@ class LLM(Generator):
         params = convert.to_device_tree(params, dtype=self.dtype)
         if tp > 1:
             specs = llama.param_shardings(params)
+
+            def place(x, s):
+                # fall back to replication for dims the TP axis can't divide
+                # (e.g. an odd vocab on lm_head)
+                for dim, axis in enumerate(s):
+                    if axis is not None and x.shape[dim] % tp != 0:
+                        s = jax.sharding.PartitionSpec()
+                        break
+                return jax.device_put(x, NamedSharding(self.mesh, s))
+
             params = jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                params, specs,
+                place, params, specs,
                 is_leaf=lambda x: isinstance(x, jnp.ndarray),
             )
         self.params = params
