@@ -1,0 +1,78 @@
+"""Continuous-batching engine: outputs must match batch greedy_generate, slots
+must be reused across a queue longer than the pool."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bergen_tpu.models import llama
+from bergen_tpu.serve import GenerationServer
+
+EOS, PAD = 2, 0
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = llama.LlamaConfig(
+        vocab_size=96, hidden_size=48, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, max_position_embeddings=256,
+    )
+    return cfg, llama.init(jax.random.PRNGKey(0), cfg)
+
+
+def batch_reference(cfg, params, prompts, max_new):
+    out = []
+    for p in prompts:
+        ids = jnp.asarray(np.asarray(p, np.int32)[None])
+        am = jnp.ones((1, len(p)), jnp.int32)
+        toks = llama.greedy_generate(
+            params, cfg, ids, am, max_new, eos_token_id=EOS, pad_token_id=PAD,
+            cache_dtype=jnp.float32,
+        )
+        row = list(np.asarray(toks)[0])
+        # cut at eos inclusive, drop pad continuation
+        if EOS in row:
+            row = row[: row.index(EOS) + 1]
+        out.append([int(t) for t in row])
+    return out
+
+
+def server_tokens(tokens, max_new):
+    # server emits exactly like reference: cut at eos inclusive / cap max_new
+    if EOS in tokens:
+        tokens = tokens[: tokens.index(EOS) + 1]
+    return tokens[:max_new]
+
+
+def test_continuous_batching_matches_batch_generate(cfg_params):
+    cfg, params = cfg_params
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(3, 96, size=n)) for n in (5, 11, 23, 8, 17, 3)]
+    max_new = 10
+
+    server = GenerationServer(params, cfg, EOS, PAD, max_slots=2, max_len=64,
+                              prompt_buckets=(8, 16, 32))
+    rids = [server.submit(p, max_new) for p in prompts]
+    results = server.run()
+    ref = batch_reference(cfg, params, prompts, max_new)
+    for rid, p, r in zip(rids, prompts, ref):
+        got = server_tokens(results[rid], max_new)
+        want = [int(t) for t in r][:max_new]
+        assert got == want, f"prompt len {len(p)}: {got} != {want}"
+
+
+def test_slot_reuse_and_capacity(cfg_params):
+    cfg, params = cfg_params
+    rng = np.random.default_rng(1)
+    server = GenerationServer(params, cfg, EOS, PAD, max_slots=2, max_len=48,
+                              prompt_buckets=(8, 16))
+    # 5 requests through 2 slots
+    rids = [server.submit(list(rng.integers(3, 96, size=6)), 4) for _ in range(5)]
+    results = server.run()
+    assert set(results) == set(rids)
+    assert all(1 <= len(v) <= 4 for v in results.values())
+    # pool drained back to free
+    assert sorted(server.free_slots) == [0, 1]
+    assert not server.active
