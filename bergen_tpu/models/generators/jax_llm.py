@@ -62,6 +62,10 @@ class LLM(Generator):
         hf_model = AutoModelForCausalLM.from_pretrained(model_name)
         params = convert.llama_from_hf(hf_model.state_dict(), self.cfg.num_layers)
         del hf_model
+        if quantization in ("int8", "int4"):
+            # int8 weight-only (int4 requests round up to int8 on TPU;
+            # quality-neutral per BASELINE.md)
+            params = convert.quantize_tree_int8(params)
 
         self.mesh = get_mesh(model=tp)
         params = convert.to_device_tree(params, dtype=self.dtype)

@@ -156,6 +156,10 @@ def cache_shardings(model_axis: str = "model"):
 
 
 def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:  # int8 weight-only path (convert.quantize_tree_int8)
+        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "lora_a" in p:  # LoRA adapter path (train/lora.py): y += x@A@B * scale
         y = y + jnp.dot(
@@ -276,7 +280,7 @@ def forward(
             x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
         )
     else:
-        logits = jnp.dot(x, head["kernel"], preferred_element_type=jnp.float32)
+        logits = _proj(head, x).astype(jnp.float32)
     new_cache = {
         "k": jnp.stack(new_k),
         "v": jnp.stack(new_v),
