@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-N_DOCS = 1_000_000
+N_DOCS = 1_048_576
 DIM = 768
 Q_BATCH = 512
 TOP_K = 50

