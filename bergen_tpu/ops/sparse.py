@@ -51,7 +51,11 @@ def _densify_block(vals: jnp.ndarray, idx: jnp.ndarray, vocab: int) -> jnp.ndarr
     return out.at[rows, idx].add(vals)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "vocab", "vary_axis"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "vocab", "vary_axis", "method",
+                     "recall_target"),
+)
 def sparse_topk_blocked(
     q_dense: jnp.ndarray,   # [Q, V]
     doc_vals: jnp.ndarray,  # [N, nnz]
@@ -60,6 +64,8 @@ def sparse_topk_blocked(
     vocab: int,
     block: int = 4096,
     vary_axis: str | None = None,
+    method: str = "auto",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k of q · doc over fixed-width sparse docs, streaming per block."""
     Q, V = q_dense.shape
@@ -84,7 +90,9 @@ def sparse_topk_blocked(
         )  # [Q, block] on the MXU
         col = start + jax.lax.broadcasted_iota(jnp.int32, (Q, block), 1)
         scores = jnp.where(col < N, scores, -jnp.inf)
-        v, i = jax.lax.top_k(scores, k_eff)
+        from bergen_tpu.ops.scoring import _block_topk
+
+        v, i = _block_topk(scores, k_eff, method, recall_target)
         gidx = jnp.take_along_axis(col, i, axis=1)
         cat_v = jnp.concatenate([run_v, v], axis=1)
         cat_i = jnp.concatenate([run_i, gidx], axis=1)
@@ -105,7 +113,8 @@ def sparse_topk_blocked(
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_sparse_topk_fn(mesh: Mesh, k: int, vocab: int, block: int):
+def _sharded_sparse_topk_fn(mesh: Mesh, k: int, vocab: int, block: int,
+                            method: str, recall_target: float):
     """jit once per (mesh, k, vocab, block) — see ops.scoring._sharded_topk_fn."""
 
     def local(q, vals, idx, valid_n):
@@ -113,7 +122,8 @@ def _sharded_sparse_topk_fn(mesh: Mesh, k: int, vocab: int, block: int):
         di = jax.lax.axis_index("data")
         offset = di * shard_n
         v, i = sparse_topk_blocked(
-            q, vals, idx, k, vocab, block=block, vary_axis="data"
+            q, vals, idx, k, vocab, block=block, vary_axis="data",
+            method=method, recall_target=recall_target,
         )
         gi = i + offset
         v = jnp.where(gi < valid_n, v, -jnp.inf)
@@ -143,11 +153,14 @@ def sharded_sparse_topk(
     vocab: int,
     block: int = 4096,
     valid_n: int | None = None,
+    method: str = "auto",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     N = doc_vals_sharded.shape[0]
     total_valid = N if valid_n is None else valid_n
     fn = _sharded_sparse_topk_fn(
-        mesh, k, vocab, min(block, N // mesh.shape["data"])
+        mesh, k, vocab, min(block, N // mesh.shape["data"]),
+        method, recall_target,
     )
     return fn(q_dense, doc_vals_sharded, doc_idx_sharded, jnp.int32(total_valid))
 
