@@ -146,25 +146,22 @@ def topk_blocked(
     N = corpus_t.shape[1]
     k_eff = min(k, N)
     block = max(min(block, N), k_eff)  # each block must hold at least k_eff
-    cp = _pad_dim(corpus_t, 1, block)  # padded docs score -inf via masking
-    Np = cp.shape[1]
-    n_blocks = Np // block
 
     score_fn = pallas_score if _use_pallas() else xla_score
 
-    def body(carry, b):
-        run_v, run_i = carry
-        start = b * block
-        chunk = jax.lax.dynamic_slice(cp, (0, start), (D, block))
-        scores = score_fn(queries, chunk)  # [Q, block] f32
-        col = start + jax.lax.broadcasted_iota(jnp.int32, (Q, block), 1)
-        scores = jnp.where(col < N, scores, -jnp.inf)
-        v, i = _block_topk(scores, k_eff, method, recall_target)
-        idx = jnp.take_along_axis(col, i, axis=1)
+    # Full blocks scan WITHOUT padding masks (the iota+where over [Q, block]
+    # costs real HBM traffic and blocks the matmul→top-k fusion); the ragged
+    # tail — the only region needing a validity mask — is handled statically
+    # outside the scan, so the hot path stays pure matmul + top-k.
+    n_full = N // block
+    tail = N - n_full * block
+
+    def merge(run, v, idx):
+        run_v, run_i = run
         cat_v = jnp.concatenate([run_v, v], axis=1)
         cat_i = jnp.concatenate([run_i, idx], axis=1)
         mv, mi = jax.lax.top_k(cat_v, k_eff)
-        return (mv, jnp.take_along_axis(cat_i, mi, axis=1)), None
+        return mv, jnp.take_along_axis(cat_i, mi, axis=1)
 
     init = (
         jnp.full((Q, k_eff), -jnp.inf, jnp.float32),
@@ -174,7 +171,32 @@ def topk_blocked(
         # inside shard_map the carry becomes varying over the mesh axis; the
         # init must be cast to match (JAX >= 0.8 VMA rules)
         init = jax.lax.pcast(init, (vary_axis,), to="varying")
-    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+
+    if n_full > 0:
+        main = jax.lax.slice(corpus_t, (0, 0), (D, n_full * block))
+
+        def body(carry, b):
+            start = b * block
+            chunk = jax.lax.dynamic_slice(main, (0, start), (D, block))
+            scores = score_fn(queries, chunk)  # [Q, block] f32
+            v, i = _block_topk(scores, k_eff, method, recall_target)
+            return merge(carry, v, i + start), None
+
+        run, _ = jax.lax.scan(body, init, jnp.arange(n_full))
+    else:
+        run = init
+
+    if tail > 0:
+        tail_chunk = _pad_dim(
+            jax.lax.slice(corpus_t, (0, n_full * block), (D, N)), 1, block
+        )
+        scores = score_fn(queries, tail_chunk)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < tail, scores, -jnp.inf)
+        v, i = _block_topk(scores, k_eff, method, recall_target)
+        run = merge(run, v, i + n_full * block)
+
+    vals, idxs = run
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
         idxs = jnp.pad(idxs, ((0, 0), (0, k - k_eff)))
