@@ -137,11 +137,15 @@ def topk_blocked(
     vary_axis: str | None = None,  # set when called inside shard_map
     method: str = "auto",          # 'auto' | 'exact' | 'approx'
     recall_target: float = 0.99,
+    valid_upto: jnp.ndarray | None = None,  # traced count of real docs
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k over all N docs without materialising [Q, N] scores in HBM:
+    """Top-k over all N docs without materialising [Q, N] scores in HBM:
     scan over doc blocks keeping a running (values, indices) top-k.  Replaces
     the reference's per-chunk ``torch.topk`` + final merge
-    (``modules/retrieve.py:157-177``) with a single fused XLA loop."""
+    (``modules/retrieve.py:157-177``) with a single fused XLA loop.
+    ``valid_upto`` masks trailing padding docs *before* the per-block top-k so
+    zero-score pad vectors can never displace genuine candidates; padding must
+    fit inside the final block."""
     Q, D = queries.shape
     N = corpus_t.shape[1]
     k_eff = min(k, N)
@@ -155,6 +159,10 @@ def topk_blocked(
     # outside the scan, so the hot path stays pure matmul + top-k.
     n_full = N // block
     tail = N - n_full * block
+    if valid_upto is not None and tail == 0:
+        # reserve the last block as a (maskable) tail
+        n_full -= 1
+        tail = block
 
     def merge(run, v, idx):
         run_v, run_i = run
@@ -192,7 +200,8 @@ def topk_blocked(
         )
         scores = score_fn(queries, tail_chunk)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < tail, scores, -jnp.inf)
+        bound = tail if valid_upto is None else (valid_upto - n_full * block)
+        scores = jnp.where(col < bound, scores, -jnp.inf)
         v, i = _block_topk(scores, k_eff, method, recall_target)
         run = merge(run, v, i + n_full * block)
 
@@ -221,10 +230,12 @@ def _sharded_topk_fn(mesh: Mesh, k: int, block: int, method: str,
         shard_n = shard.shape[1]
         di = jax.lax.axis_index("data")
         offset = di * shard_n
+        shard_valid = jnp.clip(valid_n - offset, 0, shard_n)
         v, i = topk_blocked(q, shard, k, block=block, vary_axis="data",
-                            method=method, recall_target=recall_target)
+                            method=method, recall_target=recall_target,
+                            valid_upto=shard_valid)
         gi = i + offset
-        v = jnp.where(gi < valid_n, v, -jnp.inf)
+        v = jnp.where(gi < valid_n, v, -jnp.inf)  # belt-and-braces
         # gather every device's local top-k, then merge
         av = jax.lax.all_gather(v, "data", axis=0)  # [n_data, Q, k]
         ai = jax.lax.all_gather(gi, "data", axis=0)

@@ -83,6 +83,23 @@ def test_sharded_topk_matches_single_device(data):
     )
 
 
+def test_padding_cannot_displace_negative_scores():
+    """All genuine scores negative + shard padding (zero vectors scoring 0):
+    the padding must not displace genuine candidates from the top-k."""
+    rng = np.random.default_rng(5)
+    q = np.abs(rng.normal(size=(4, 16))).astype(np.float32)
+    corpus = -np.abs(rng.normal(size=(100, 16))).astype(np.float32)  # all neg
+    mesh = get_mesh()
+    corpus_dev, valid_n = scoring.shard_corpus(mesh, corpus, dtype=jnp.float32)
+    assert corpus_dev.shape[1] > 100  # padding exists
+    vals, idxs = scoring.sharded_topk(
+        mesh, jnp.asarray(q), corpus_dev, k=30, block=64, valid_n=valid_n
+    )
+    ref_vals, _ = brute_topk(q, corpus, 30)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4)
+    assert np.asarray(idxs).max() < 100
+
+
 def test_sharded_topk_never_returns_padding(data):
     queries, corpus = data
     mesh = get_mesh()
