@@ -219,27 +219,33 @@ def topk_blocked(
 
 @functools.lru_cache(maxsize=None)
 def _sharded_topk_fn(mesh: Mesh, k: int, block: int, method: str,
-                     recall_target: float):
+                     recall_target: float, pad_total: int):
     """Build + jit the distributed top-k once per (mesh, k, block); jit caches
     per shape. Un-jitted shard_map re-traces and re-ships operands every call —
-    catastrophic through a tunneled device."""
+    catastrophic through a tunneled device.
+
+    Corpus padding (pad_total zero vectors at the global tail) is handled by
+    STATIC OVERFETCH: each device fetches k + pad_total candidates unmasked —
+    so the hot path stays pure matmul + top-k with zero masking traffic —
+    then pad candidates are -inf'ed before the cross-device merge.  Since at
+    most pad_total pad docs exist globally, >= k genuine candidates always
+    survive per device: the merged result is exact w.r.t. the local top-ks."""
     n_data = mesh.shape["data"]
+    k2 = k + pad_total
 
     def local(q, shard, valid_n):
         # shard: [D, shard_n]; global offset of this device's shard
         shard_n = shard.shape[1]
         di = jax.lax.axis_index("data")
         offset = di * shard_n
-        shard_valid = jnp.clip(valid_n - offset, 0, shard_n)
-        v, i = topk_blocked(q, shard, k, block=block, vary_axis="data",
-                            method=method, recall_target=recall_target,
-                            valid_upto=shard_valid)
+        v, i = topk_blocked(q, shard, k2, block=block, vary_axis="data",
+                            method=method, recall_target=recall_target)
         gi = i + offset
-        v = jnp.where(gi < valid_n, v, -jnp.inf)  # belt-and-braces
-        # gather every device's local top-k, then merge
-        av = jax.lax.all_gather(v, "data", axis=0)  # [n_data, Q, k]
+        v = jnp.where(gi < valid_n, v, -jnp.inf)
+        # gather every device's local top-k2, then merge
+        av = jax.lax.all_gather(v, "data", axis=0)  # [n_data, Q, k2]
         ai = jax.lax.all_gather(gi, "data", axis=0)
-        av = jnp.swapaxes(av, 0, 1).reshape(q.shape[0], -1)  # [Q, n_data*k]
+        av = jnp.swapaxes(av, 0, 1).reshape(q.shape[0], -1)  # [Q, n_data*k2]
         ai = jnp.swapaxes(ai, 0, 1).reshape(q.shape[0], -1)
         mv, mi = jax.lax.top_k(av, k)
         return mv, jnp.take_along_axis(ai, mi, axis=1)
@@ -272,8 +278,10 @@ def sharded_topk(
     (exact on CPU/small blocks, approx at recall_target on TPU)."""
     N = corpus_t_sharded.shape[1]
     total_valid = N if valid_n is None else valid_n
-    fn = _sharded_topk_fn(mesh, k, min(block, N // mesh.shape["data"]),
-                          method, recall_target)
+    shard_n = N // mesh.shape["data"]
+    pad_total = min(N - total_valid, shard_n - 1)
+    fn = _sharded_topk_fn(mesh, k, min(block, shard_n),
+                          method, recall_target, pad_total)
     return fn(queries, corpus_t_sharded, jnp.int32(total_valid))
 
 
