@@ -110,15 +110,21 @@ def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
         "layers": [],
         "final_norm": {"scale": _t(sd["norm.weight"])},
     }
+    def _attn_lin(pre: str, name: str):
+        entry = {"kernel": _t(sd[f"{pre}.self_attn.{name}.weight"]).T}
+        if f"{pre}.self_attn.{name}.bias" in sd:  # qwen2-family qkv biases
+            entry["bias"] = _t(sd[f"{pre}.self_attn.{name}.bias"])
+        return entry
+
     for i in range(num_layers):
         pre = f"layers.{i}"
         p["layers"].append(
             {
                 "attn": {
-                    "q": {"kernel": _t(sd[f"{pre}.self_attn.q_proj.weight"]).T},
-                    "k": {"kernel": _t(sd[f"{pre}.self_attn.k_proj.weight"]).T},
-                    "v": {"kernel": _t(sd[f"{pre}.self_attn.v_proj.weight"]).T},
-                    "o": {"kernel": _t(sd[f"{pre}.self_attn.o_proj.weight"]).T},
+                    "q": _attn_lin(pre, "q_proj"),
+                    "k": _attn_lin(pre, "k_proj"),
+                    "v": _attn_lin(pre, "v_proj"),
+                    "o": _attn_lin(pre, "o_proj"),
                 },
                 "attn_norm": {"scale": _t(sd[f"{pre}.input_layernorm.weight"])},
                 "mlp": {

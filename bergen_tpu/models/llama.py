@@ -168,6 +168,8 @@ def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             p["lora_b"].astype(x.dtype),
             preferred_element_type=jnp.float32,
         ) * p["lora_scale"]
+    if "bias" in p:  # qwen2-style qkv biases
+        y = y + p["bias"]
     return y.astype(x.dtype)
 
 
