@@ -43,13 +43,24 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
+    # gemma-family deltas (silu/False/0.0/None reproduce llama exactly)
+    hidden_act: str = "silu"
+    embed_scale: bool = False            # x *= sqrt(hidden) after embedding
+    norm_offset: float = 0.0             # rmsnorm uses (weight + offset)
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_heads
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "LlamaConfig":
+        is_gemma = getattr(hf_cfg, "model_type", "") in ("gemma", "gemma2")
+        act = getattr(hf_cfg, "hidden_act", None) or getattr(
+            hf_cfg, "hidden_activation", None
+        ) or "silu"
         return cls(
             vocab_size=hf_cfg.vocab_size,
             hidden_size=hf_cfg.hidden_size,
@@ -62,6 +73,12 @@ class LlamaConfig:
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
             rms_norm_eps=hf_cfg.rms_norm_eps,
             tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+            hidden_act=act,
+            embed_scale=is_gemma,
+            norm_offset=1.0 if is_gemma else 0.0,
+            head_dim_override=getattr(hf_cfg, "head_dim", None)
+            if is_gemma
+            else None,
         )
 
 
@@ -235,8 +252,21 @@ def _attention(
     return _proj(layer["attn"]["o"], ctx), k_cache, v_cache
 
 
-def _mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
-    g = jax.nn.silu(_proj(layer["mlp"]["gate"], x))
+_ACTS = {
+    "silu": jax.nn.silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+}
+
+
+def _norm(p: Params, x: jnp.ndarray, cfg: LlamaConfig) -> jnp.ndarray:
+    if cfg.norm_offset:
+        p = {"scale": p["scale"] + cfg.norm_offset}
+    return rmsnorm(p, x, cfg.rms_norm_eps)
+
+
+def _mlp(layer: Params, x: jnp.ndarray, act: str = "silu") -> jnp.ndarray:
+    g = _ACTS[act](_proj(layer["mlp"]["gate"], x))
     u = _proj(layer["mlp"]["up"], x)
     return _proj(layer["mlp"]["down"], g * u)
 
@@ -260,11 +290,13 @@ def forward(
         if input_embeds is not None
         else jnp.take(params["embed"], input_ids, axis=0)
     )
+    if cfg.embed_scale:
+        x = x * jnp.asarray(math.sqrt(cfg.hidden_size), x.dtype)
     cursor = cache["cursor"]
 
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
-        h = rmsnorm(layer["attn_norm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["attn_norm"], x, cfg)
         a, k_c, v_c = _attention(
             layer, cfg, h, positions, inv_freq,
             cache["k"][li], cache["v"][li], cursor, attn_mask,
@@ -272,10 +304,10 @@ def forward(
         new_k.append(k_c)
         new_v.append(v_c)
         x = x + a
-        h = rmsnorm(layer["mlp_norm"], x, cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        h = _norm(layer["mlp_norm"], x, cfg)
+        x = x + _mlp(layer, h, cfg.hidden_act)
 
-    x = rmsnorm(params["final_norm"], x, cfg.rms_norm_eps)
+    x = _norm(params["final_norm"], x, cfg)
     head = params.get("lm_head")
     if head is None:  # tied embeddings
         logits = jnp.dot(
