@@ -15,27 +15,32 @@ from functools import partial
 import numpy as np
 
 
-def timed(fn, qd, extra, n_iters):
+def timed(fn, extra, n_iters):
+    """fn(ctr, extra) -> f32 scalar; ctr genuinely varies per iteration so XLA
+    cannot hoist the loop body (a `*0` pseudo-dependency gets constant-folded
+    and the whole loop DCE'd — measured as infinite throughput)."""
     import jax
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("n",))
-    def chained(qq, ex, n):
+    def chained(ex, n):
         def body(_, carry):
-            acc, cur = carry
-            r = fn(cur, ex)
-            return acc + r, qq + (r * 0).astype(qq.dtype)
+            acc, ctr = carry
+            r = fn(ctr, ex)
+            return acc + r, ctr + 1 + (r * 0).astype(jnp.int32)
 
-        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), qq))
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.float32(0.0), jnp.int32(0))
+        )
         return acc
 
-    float(chained(qd, extra, 1))
-    float(chained(qd, extra, n_iters))
+    float(chained(extra, 1))
+    float(chained(extra, n_iters))
     t0 = time.perf_counter()
-    float(chained(qd, extra, 1))
+    float(chained(extra, 1))
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chained(qd, extra, n_iters))
+    float(chained(extra, n_iters))
     tn = time.perf_counter() - t0
     return max((tn - t1) / (n_iters - 1), 1e-9)
 
@@ -55,11 +60,12 @@ def bench_encode():
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
     am = jnp.ones((B, S), jnp.int32)
 
-    def fn(cur, params):
-        hidden = bert.encode(params, cfg, ids + (cur[0, 0] * 0).astype(jnp.int32), am)
+    def fn(ctr, params):
+        ids2 = (ids + ctr) % cfg.vocab_size
+        hidden = bert.encode(params, cfg, ids2, am)
         return jnp.sum(bert.mean_pool(hidden, am)[0, :4].astype(jnp.float32))
 
-    dt = timed(fn, jnp.zeros((8, 8), jnp.int32), params, 9)
+    dt = timed(fn, params, 9)
     return {"metric": "bert_base_encode_docs_per_sec_b256_s192",
             "value": round(B / dt, 1), "unit": "docs/sec/chip"}
 
@@ -82,14 +88,15 @@ def bench_generate():
     ids = jnp.asarray(rng.integers(3, 32000, (B, S)), jnp.int32)
     am = jnp.ones((B, S), jnp.int32)
 
-    def fn(cur, params):
+    def fn(ctr, params):
+        ids2 = (ids + ctr) % cfg.vocab_size
         toks = llama.greedy_generate(
-            params, cfg, ids + (cur[0, 0] * 0).astype(jnp.int32), am, NEW,
+            params, cfg, ids2, am, NEW,
             eos_token_id=-1, pad_token_id=0, cache_dtype=jnp.bfloat16,
         )
         return jnp.sum(toks[0, :4]).astype(jnp.float32)
 
-    dt = timed(fn, jnp.zeros((8, 8), jnp.int32), params, 5)
+    dt = timed(fn, params, 5)
     return {
         "metric": "tinyllama_generate_tokens_per_sec_b32_prefill256_new64",
         "value": round(B * NEW / dt, 1), "unit": "new tokens/sec/chip",
