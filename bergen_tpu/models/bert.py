@@ -36,9 +36,15 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"
     pad_token_id: int = 0
+    # RoBERTa/XLM-R (bge-m3, bge-reranker-v2-m3): positions are
+    # pad-aware cumulative ids offset by padding_idx, not absolute indices
+    roberta_positions: bool = False
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
+        is_roberta = getattr(hf_cfg, "model_type", "") in (
+            "roberta", "xlm-roberta", "camembert",
+        )
         return cls(
             vocab_size=hf_cfg.vocab_size,
             hidden_size=hf_cfg.hidden_size,
@@ -50,6 +56,7 @@ class BertConfig:
             layer_norm_eps=hf_cfg.layer_norm_eps,
             hidden_act=hf_cfg.hidden_act,
             pad_token_id=hf_cfg.pad_token_id or 0,
+            roberta_positions=is_roberta,
         )
 
 
@@ -104,7 +111,13 @@ def encode(
     """Token-level hidden states [B, S, D]."""
     B, S = input_ids.shape
     emb = params["embeddings"]
-    positions = jnp.arange(S)[None, :]
+    if cfg.roberta_positions:
+        # create_position_ids_from_input_ids: pads stay at padding_idx,
+        # real tokens count from padding_idx + 1
+        mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+        positions = jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id
+    else:
+        positions = jnp.arange(S)[None, :]
     x = (
         jnp.take(emb["word"], input_ids, axis=0)
         + jnp.take(emb["position"], positions, axis=0)

@@ -32,7 +32,7 @@ def _ln(sd: Mapping, prefix: str) -> Dict[str, Any]:
     return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
 
 
-def _strip_prefix(sd: Mapping, candidates=("bert.", "model.", "roberta.")) -> Dict:
+def _strip_prefix(sd: Mapping, candidates=("bert.", "model.", "roberta.", "deberta.")) -> Dict:
     """Normalize away the HF wrapper prefix (BertForMaskedLM stores weights
     under 'bert.', bare BertModel has none)."""
     out = dict(sd)
@@ -93,6 +93,11 @@ def bert_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
     # sequence-classification head (BertForSequenceClassification layout)
     if "classifier.weight" in sd:
         p["classifier"] = _lin(sd, "classifier")
+    # roberta classification head: classifier.dense (tanh) + classifier.out_proj
+    # maps onto the pooler+classifier structure
+    if "classifier.dense.weight" in sd:
+        p["pooler"] = _lin(sd, "classifier.dense")
+        p["classifier"] = _lin(sd, "classifier.out_proj")
     return p
 
 
