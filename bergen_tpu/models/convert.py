@@ -123,23 +123,45 @@ def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
 
     for i in range(num_layers):
         pre = f"layers.{i}"
-        p["layers"].append(
-            {
-                "attn": {
-                    "q": _attn_lin(pre, "q_proj"),
-                    "k": _attn_lin(pre, "k_proj"),
-                    "v": _attn_lin(pre, "v_proj"),
-                    "o": _attn_lin(pre, "o_proj"),
-                },
-                "attn_norm": {"scale": _t(sd[f"{pre}.input_layernorm.weight"])},
-                "mlp": {
-                    "gate": {"kernel": _t(sd[f"{pre}.mlp.gate_proj.weight"]).T},
-                    "up": {"kernel": _t(sd[f"{pre}.mlp.up_proj.weight"]).T},
-                    "down": {"kernel": _t(sd[f"{pre}.mlp.down_proj.weight"]).T},
-                },
-                "mlp_norm": {"scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])},
+        entry: Dict[str, Any] = {
+            "attn": {
+                "q": _attn_lin(pre, "q_proj"),
+                "k": _attn_lin(pre, "k_proj"),
+                "v": _attn_lin(pre, "v_proj"),
+                "o": _attn_lin(pre, "o_proj"),
+            },
+            "attn_norm": {"scale": _t(sd[f"{pre}.input_layernorm.weight"])},
+            "mlp_norm": {"scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])},
+        }
+        if f"{pre}.mlp.gate_proj.weight" in sd:
+            entry["mlp"] = {
+                "gate": {"kernel": _t(sd[f"{pre}.mlp.gate_proj.weight"]).T},
+                "up": {"kernel": _t(sd[f"{pre}.mlp.up_proj.weight"]).T},
+                "down": {"kernel": _t(sd[f"{pre}.mlp.down_proj.weight"]).T},
             }
-        )
+        else:
+            # mixtral sparse MoE: stack experts into [E, d_in, d_out] tensors
+            # (w1=gate, w3=up, w2=down); router = block_sparse_moe.gate
+            moe_pre = f"{pre}.block_sparse_moe"
+            n_exp = 0
+            while f"{moe_pre}.experts.{n_exp}.w1.weight" in sd:
+                n_exp += 1
+            entry["moe"] = {
+                "router": {"kernel": _t(sd[f"{moe_pre}.gate.weight"]).T},
+                "gate": {"kernel": np.stack([
+                    _t(sd[f"{moe_pre}.experts.{e}.w1.weight"]).T
+                    for e in range(n_exp)
+                ])},
+                "up": {"kernel": np.stack([
+                    _t(sd[f"{moe_pre}.experts.{e}.w3.weight"]).T
+                    for e in range(n_exp)
+                ])},
+                "down": {"kernel": np.stack([
+                    _t(sd[f"{moe_pre}.experts.{e}.w2.weight"]).T
+                    for e in range(n_exp)
+                ])},
+            }
+        p["layers"].append(entry)
     if "lm_head.weight" in state_dict:
         p["lm_head"] = {"kernel": _t(state_dict["lm_head.weight"]).T}
     # tied-embedding models (e.g. gemma/tinyllama variants) reuse embed

@@ -48,6 +48,9 @@ class LlamaConfig:
     embed_scale: bool = False            # x *= sqrt(hidden) after embedding
     norm_offset: float = 0.0             # rmsnorm uses (weight + offset)
     head_dim_override: int | None = None
+    # mixtral-family MoE (0 experts = dense llama MLP)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -79,6 +82,8 @@ class LlamaConfig:
             head_dim_override=getattr(hf_cfg, "head_dim", None)
             if is_gemma
             else None,
+            num_experts=getattr(hf_cfg, "num_local_experts", 0) or 0,
+            num_experts_per_tok=getattr(hf_cfg, "num_experts_per_tok", 2),
         )
 
 
@@ -271,6 +276,41 @@ def _mlp(layer: Params, x: jnp.ndarray, act: str = "silu") -> jnp.ndarray:
     return _proj(layer["mlp"]["down"], g * u)
 
 
+def _moe(layer: Params, cfg: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Mixtral sparse-MoE block, computed DENSE over stacked expert tensors
+    [E, d_in, d_out] (every expert runs on every token, outputs weighted by the
+    top-k-normalised router probs).  Exact w.r.t. the sparse formulation; at
+    the supported scales the 4x FLOP overhead trades for a gather/scatter-free
+    MXU-only schedule, and the stacked expert axis shards directly over the
+    mesh ``model`` axis (expert parallelism) — token-dispatch kernels are a
+    later optimisation."""
+    B, S, D = x.shape
+    moe = layer["moe"]
+    logits = jnp.dot(x, moe["router"]["kernel"],
+                     preferred_element_type=jnp.float32)  # [B, S, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_p, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+    # dense per-token expert weights [B, S, E]: scatter normalised top-k probs
+    weights = jnp.zeros_like(probs).at[
+        jnp.arange(B)[:, None, None],
+        jnp.arange(S)[None, :, None],
+        top_i,
+    ].set(top_p)
+    g = _ACTS[cfg.hidden_act](
+        jnp.einsum("bsd,edf->ebsf", x, moe["gate"]["kernel"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    )
+    u = jnp.einsum("bsd,edf->ebsf", x, moe["up"]["kernel"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    h = jnp.einsum("ebsf,efd->ebsd", g * u, moe["down"]["kernel"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.einsum("ebsd,bse->bsd", h,
+                     weights.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
 def forward(
     params: Params,
     cfg: LlamaConfig,
@@ -305,7 +345,10 @@ def forward(
         new_v.append(v_c)
         x = x + a
         h = _norm(layer["mlp_norm"], x, cfg)
-        x = x + _mlp(layer, h, cfg.hidden_act)
+        if "moe" in layer:
+            x = x + _moe(layer, cfg, h)
+        else:
+            x = x + _mlp(layer, h, cfg.hidden_act)
 
     x = _norm(params["final_norm"], x, cfg)
     head = params.get("lm_head")
@@ -403,19 +446,28 @@ def param_shardings(params: Params, model_axis: str = "model") -> Params:
         "final_norm": {"scale": P()},
         "layers": [],
     }
-    for _ in params["layers"]:
-        out["layers"].append(
-            {
-                "attn": {n: attn_spec(n) for n in ("q", "k", "v", "o")},
-                "attn_norm": {"scale": P()},
-                "mlp": {
-                    "gate": {"kernel": P(None, model_axis)},
-                    "up": {"kernel": P(None, model_axis)},
-                    "down": {"kernel": P(model_axis, None)},
-                },
-                "mlp_norm": {"scale": P()},
+    for layer in params["layers"]:
+        entry = {
+            "attn": {n: attn_spec(n) for n in ("q", "k", "v", "o")},
+            "attn_norm": {"scale": P()},
+            "mlp_norm": {"scale": P()},
+        }
+        if "moe" in layer:
+            # expert parallelism: the stacked expert axis shards over the
+            # mesh model axis; router replicated
+            entry["moe"] = {
+                "router": {"kernel": P()},
+                "gate": {"kernel": P(model_axis, None, None)},
+                "up": {"kernel": P(model_axis, None, None)},
+                "down": {"kernel": P(model_axis, None, None)},
             }
-        )
+        else:
+            entry["mlp"] = {
+                "gate": {"kernel": P(None, model_axis)},
+                "up": {"kernel": P(None, model_axis)},
+                "down": {"kernel": P(model_axis, None)},
+            }
+        out["layers"].append(entry)
     if "lm_head" in params:
         out["lm_head"] = {"kernel": P(None, model_axis)}
     return out
