@@ -92,7 +92,7 @@ class COCOM(Generator):
                 h = llama.rmsnorm(layer["attn_norm"], x, self.compr_cfg.rms_norm_eps)
                 a, _, _ = llama._attention(
                     layer, self.compr_cfg, h, positions, inv_freq,
-                    cache["k"][li], cache["v"][li], cursor, mask,
+                    cache["k"], cache["v"], li, cursor, mask,
                 )
                 x = x + a
                 h = llama.rmsnorm(layer["mlp_norm"], x, self.compr_cfg.rms_norm_eps)

@@ -214,8 +214,9 @@ def _attention(
     x: jnp.ndarray,          # [B, S, D]
     positions: jnp.ndarray,  # [B, S]
     inv_freq: jnp.ndarray,
-    k_cache: jnp.ndarray,    # [B, L, KH, Dh]
-    v_cache: jnp.ndarray,
+    k_all: jnp.ndarray,      # [n_layers, B, L, KH, Dh] (stacked cache)
+    v_all: jnp.ndarray,
+    li: int,                 # this layer's cache row
     cursor: jnp.ndarray,     # scalar: write offset in cache
     attn_mask: jnp.ndarray,  # [B, S, L] boolean — may attend
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -228,8 +229,16 @@ def _attention(
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cursor, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cursor, 0, 0))
+    # write IN PLACE into the stacked cache (XLA aliases the donated carry;
+    # per-layer slice+restack forced a full cache copy every decode step)
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k.astype(k_all.dtype)[None], (li, 0, cursor, 0, 0)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v.astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
+    )
+    k_cache = k_all[li]
+    v_cache = v_all[li]
 
     if _flash_enabled(S):
         # prefill (cursor==0): slot-causal + key-validity; the last query row
@@ -241,7 +250,7 @@ def _attention(
             q, k_cache, v_cache, k_valid, causal=True,
             interpret=jax.default_backend() != "tpu",
         )
-        return _proj(layer["attn"]["o"], ctx.reshape(B, S, H * Dh)), k_cache, v_cache
+        return _proj(layer["attn"]["o"], ctx.reshape(B, S, H * Dh)), k_all, v_all
 
     group = H // KH
     qg = q.reshape(B, S, KH, group, Dh)
@@ -254,7 +263,7 @@ def _attention(
         "bkgsl,blkd->bskgd", probs, v_cache, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     ctx = ctx.reshape(B, S, H * Dh)
-    return _proj(layer["attn"]["o"], ctx), k_cache, v_cache
+    return _proj(layer["attn"]["o"], ctx), k_all, v_all
 
 
 _ACTS = {
@@ -334,15 +343,13 @@ def forward(
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), x.dtype)
     cursor = cache["cursor"]
 
-    new_k, new_v = [], []
+    k_all, v_all = cache["k"], cache["v"]
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["attn_norm"], x, cfg)
-        a, k_c, v_c = _attention(
-            layer, cfg, h, positions, inv_freq,
-            cache["k"][li], cache["v"][li], cursor, attn_mask,
+        a, k_all, v_all = _attention(
+            layer, cfg, h, positions, inv_freq, k_all, v_all, li, cursor,
+            attn_mask,
         )
-        new_k.append(k_c)
-        new_v.append(v_c)
         x = x + a
         h = _norm(layer["mlp_norm"], x, cfg)
         if "moe" in layer:
@@ -359,9 +366,11 @@ def forward(
     else:
         logits = _proj(head, x).astype(jnp.float32)
     new_cache = {
-        "k": jnp.stack(new_k),
-        "v": jnp.stack(new_v),
-        "cursor": cursor + input_ids.shape[1],
+        "k": k_all,
+        "v": v_all,
+        "cursor": cursor + (
+            input_ids.shape[1] if input_embeds is None else input_embeds.shape[1]
+        ),
     }
     return logits, new_cache
 

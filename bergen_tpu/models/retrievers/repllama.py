@@ -55,8 +55,8 @@ class RepLlama(Retriever):
             for li, layer in enumerate(params["layers"]):
                 h = llama.rmsnorm(layer["attn_norm"], x, cfg.rms_norm_eps)
                 a, _, _ = llama._attention(
-                    layer, cfg, h, positions, inv_freq, cache["k"][li],
-                    cache["v"][li], cursor, mask,
+                    layer, cfg, h, positions, inv_freq, cache["k"],
+                    cache["v"], li, cursor, mask,
                 )
                 x = x + a
                 h = llama.rmsnorm(layer["mlp_norm"], x, cfg.rms_norm_eps)
