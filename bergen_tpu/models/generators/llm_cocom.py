@@ -179,10 +179,14 @@ class COCOM(Generator):
                     continue
                 mem = self.compress_docs(list(docs))  # [n, mem, D]
                 flat = mem.reshape(-1, mem.shape[-1])
-                # placeholder = pad tokens inside the valid region
+                # placeholder = pad tokens inside the valid region; pad_token
+                # aliases bos_token on llama-family tokenizers, so a leading
+                # BOS also matches — keep only the LAST n_expected matches
+                # (the placeholders are contiguous inside the prompt body)
                 slots = np.where((ii[r] == pad_id) & (am[r] == 1))[0]
-                n = min(len(slots), len(flat))
-                embeds[r, slots[:n]] = flat[:n]
+                n = min(len(flat), self.mem_tokens * len(docs), len(slots))
+                slots = slots[-n:] if n else slots[:0]
+                embeds[r, slots] = flat[:n]
             toks = self._gen(
                 self.params, jnp.asarray(embeds, self.dtype),
                 jnp.asarray(ii), jnp.asarray(am), self.max_new_tokens,

@@ -150,8 +150,14 @@ class XRAG(Generator):
             )
             for r, row in enumerate(batch):
                 docs = list(row.get("doc") or [])
-                if not docs or self.retriever is None:
+                if not docs:
                     continue
+                if self.retriever is None:
+                    raise RuntimeError(
+                        "XRAG received documents but no retriever_name was "
+                        "configured — the <xRAG> placeholders would carry no "
+                        "document information"
+                    )
                 doc_embs = self.retriever.encode(docs, "doc")
                 slots = np.where(ii[r] == self.xrag_id)[0]
                 for slot, emb in zip(slots, doc_embs):

@@ -73,8 +73,14 @@ class Retrieve:
         texts = dataset[field]
         n = len(texts)
         sparse = self._sparse_docs(query_or_doc)
+        # chunks flush at a fixed batch-aligned row count so resume points are
+        # deterministic; continue_batch snaps DOWN to the last complete chunk
+        # boundary, re-encoding any rows that were buffered but never flushed
+        # when the previous run died
+        chunk_rows = max((CHUNK_DOCS // self.batch_size), 1) * self.batch_size
         start = (self.continue_batch or 0) * self.batch_size
-        buf, buf_rows, chunk_id = [], 0, start // CHUNK_DOCS
+        start = (start // chunk_rows) * chunk_rows
+        buf, buf_rows, chunk_id = [], 0, start // chunk_rows
         for s in range(start, n, self.batch_size):
             batch_texts = texts[s : s + self.batch_size]
             if sparse:
@@ -85,7 +91,7 @@ class Retrieve:
                 emb = self.model.encode(batch_texts, query_or_doc)
                 buf.append(emb.astype(np.float16))
                 buf_rows += emb.shape[0]
-            if buf_rows >= CHUNK_DOCS or s + self.batch_size >= n:
+            if buf_rows >= chunk_rows or s + self.batch_size >= n:
                 if sparse:
                     np.savez(
                         os.path.join(index_path, f"sparse_chunk_{chunk_id}.npz"),
@@ -218,7 +224,7 @@ class Retrieve:
         }
         if return_embeddings:
             out["q_embs"] = q_emb
-            out["doc_embs"] = d_emb
+            out["doc_embs"] = (d_vals, d_idx) if sparse else d_emb
         return out
 
     def get_clean_model_name(self) -> str:

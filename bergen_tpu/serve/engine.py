@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from functools import partial
 from typing import Dict, List
 
 import jax
@@ -62,6 +63,8 @@ class GenerationServer:
         self.L = max_len
         self.dtype = dtype
         self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_len)
+        if not self.prompt_buckets:
+            self.prompt_buckets = (max_len,)
 
         shape = (cfg.num_layers, max_slots, max_len, cfg.num_kv_heads, cfg.head_dim)
         self.k_cache = jnp.zeros(shape, dtype)
@@ -75,7 +78,8 @@ class GenerationServer:
 
         cfg_ = cfg
 
-        @functools.partial(jax.jit, static_argnames=("P",))
+        @functools.partial(jax.jit, static_argnames=("P",),
+                           donate_argnums=(1, 2))
         def prefill(params, k_cache, v_cache, slot, ids, valid_len, P):
             """Run the prompt [1, P] and write its K/V into slot's region.
             Returns (k_cache, v_cache, next_token)."""
@@ -102,7 +106,7 @@ class GenerationServer:
             nxt = jnp.argmax(logits[0, valid_len - 1], axis=-1).astype(jnp.int32)
             return k_cache, v_cache, nxt
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(1, 2))
         def step(params, k_cache, v_cache, tokens, cursors, active_mask):
             """One decode step for every slot: tokens [S], cursors [S].
             Returns (k_cache, v_cache, next_tokens [S])."""
@@ -175,8 +179,8 @@ class GenerationServer:
         while self._queue and self.free_slots:
             req = self._queue.pop(0)
             slot = self.free_slots.pop(0)
-            ids = req.prompt_ids[-self.L:]
-            P = self._bucket(len(ids))
+            P = self._bucket(len(req.prompt_ids))
+            ids = req.prompt_ids[-P:]  # keep the prompt tail, like left-trunc
             padded = np.full((1, P), self.pad, np.int32)
             padded[0, : len(ids)] = ids  # right padding; valid region [0, n)
             self.k_cache, self.v_cache, nxt = self._prefill(

@@ -126,23 +126,31 @@ class SFTTrainer:
             "loss_mask": jnp.asarray(lm),
         }
 
+    def _token_len(self, row) -> int:
+        if "_token_len" not in row:
+            row["_token_len"] = len(
+                self.gen.tokenizer(row["formatted_instruction"],
+                                   add_special_tokens=False)["input_ids"]
+            )
+        return row["_token_len"]
+
     def _batches(self, rows, batch_size, shuffle):
+        from bergen_tpu.models.core import length_bucket
+
         order = np.arange(len(rows))
         if shuffle:
             self.rng.shuffle(order)
-        # length-sorted within a shuffled window keeps padding low without
-        # destroying stochasticity
+            # length-sort within shuffled windows: stochastic batch membership
+            # with low padding waste inside each window
+            window = batch_size * 8
+            order = np.concatenate([
+                sorted(order[s : s + window], key=lambda i: self._token_len(rows[i]))
+                for s in range(0, len(order), window)
+            ]).astype(np.int64) if len(order) else order
         for s in range(0, len(order), batch_size):
             idx = order[s : s + batch_size]
             batch = [rows[i] for i in idx]
-            longest = max(
-                len(self.gen.tokenizer(
-                    r["formatted_instruction"], add_special_tokens=False
-                )["input_ids"])
-                for r in batch
-            )
-            from bergen_tpu.models.core import length_bucket
-
+            longest = max(self._token_len(r) for r in batch)
             yield self._collate(batch, length_bucket(longest, self.gen.buckets))
 
     def evaluate(self) -> float:
