@@ -42,9 +42,24 @@ class BertConfig:
 
     @classmethod
     def from_hf(cls, hf_cfg) -> "BertConfig":
-        is_roberta = getattr(hf_cfg, "model_type", "") in (
-            "roberta", "xlm-roberta", "camembert",
-        )
+        model_type = getattr(hf_cfg, "model_type", "")
+        is_roberta = model_type in ("roberta", "xlm-roberta", "camembert")
+        if model_type == "distilbert":
+            # DistilBERT (tasb — reference config/retriever/tasb.yaml): same
+            # post-LN block as BERT, but no token-type embeddings and renamed
+            # config fields; HF modeling hardcodes LayerNorm eps=1e-12.
+            return cls(
+                vocab_size=hf_cfg.vocab_size,
+                hidden_size=hf_cfg.dim,
+                num_layers=hf_cfg.n_layers,
+                num_heads=hf_cfg.n_heads,
+                intermediate_size=hf_cfg.hidden_dim,
+                max_position_embeddings=hf_cfg.max_position_embeddings,
+                type_vocab_size=0,
+                layer_norm_eps=1e-12,
+                hidden_act=hf_cfg.activation,
+                pad_token_id=getattr(hf_cfg, "pad_token_id", 0) or 0,
+            )
         return cls(
             vocab_size=hf_cfg.vocab_size,
             hidden_size=hf_cfg.hidden_size,
@@ -70,15 +85,18 @@ def init(key, cfg: BertConfig, with_mlm_head: bool = False) -> Dict[str, Any]:
                 jax.random.fold_in(k_emb, 1), (cfg.max_position_embeddings, cfg.hidden_size)
             )
             * 0.02,
-            "token_type": jax.random.normal(
-                jax.random.fold_in(k_emb, 2), (cfg.type_vocab_size, cfg.hidden_size)
-            )
-            * 0.02,
             "ln": core.layernorm_init(cfg.hidden_size),
         },
         "layers": [],
         "pooler": core.dense_init(k_pool, cfg.hidden_size, cfg.hidden_size),
     }
+    if cfg.type_vocab_size > 0:
+        p["embeddings"]["token_type"] = (
+            jax.random.normal(
+                jax.random.fold_in(k_emb, 2), (cfg.type_vocab_size, cfg.hidden_size)
+            )
+            * 0.02
+        )
     for i in range(cfg.num_layers):
         k = jax.random.fold_in(k_layers, i)
         ks = jax.random.split(k, 3)
@@ -122,8 +140,9 @@ def encode(
         jnp.take(emb["word"], input_ids, axis=0)
         + jnp.take(emb["position"], positions, axis=0)
     )
-    tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
-    x = x + jnp.take(emb["token_type"], tt, axis=0)
+    if "token_type" in emb:  # absent for DistilBERT (type_vocab_size == 0)
+        tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
+        x = x + jnp.take(emb["token_type"], tt, axis=0)
     x = layernorm(emb["ln"], x, cfg.layer_norm_eps)
 
     act = ACT_FNS[cfg.hidden_act]

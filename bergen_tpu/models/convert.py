@@ -32,7 +32,7 @@ def _ln(sd: Mapping, prefix: str) -> Dict[str, Any]:
     return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
 
 
-def _strip_prefix(sd: Mapping, candidates=("bert.", "model.", "roberta.", "deberta.")) -> Dict:
+def _strip_prefix(sd: Mapping, candidates=("bert.", "model.", "roberta.", "deberta.", "distilbert.")) -> Dict:
     """Normalize away the HF wrapper prefix (BertForMaskedLM stores weights
     under 'bert.', bare BertModel has none)."""
     out = dict(sd)
@@ -60,11 +60,32 @@ def bert_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
         "embeddings": {
             "word": _t(sd["embeddings.word_embeddings.weight"]),
             "position": _t(sd["embeddings.position_embeddings.weight"]),
-            "token_type": _t(sd["embeddings.token_type_embeddings.weight"]),
             "ln": _ln(sd, "embeddings.LayerNorm"),
         },
         "layers": [],
     }
+    if "embeddings.token_type_embeddings.weight" in sd:
+        p["embeddings"]["token_type"] = _t(sd["embeddings.token_type_embeddings.weight"])
+    # DistilBERT layout (tasb): transformer.layer.N.{attention.{q,k,v,out}_lin,
+    # sa_layer_norm, ffn.{lin1,lin2}, output_layer_norm} — same post-LN block
+    if "transformer.layer.0.attention.q_lin.weight" in sd:
+        for i in range(num_layers):
+            pre = f"transformer.layer.{i}"
+            p["layers"].append(
+                {
+                    "attn": {
+                        "q": _lin(sd, f"{pre}.attention.q_lin"),
+                        "k": _lin(sd, f"{pre}.attention.k_lin"),
+                        "v": _lin(sd, f"{pre}.attention.v_lin"),
+                        "o": _lin(sd, f"{pre}.attention.out_lin"),
+                    },
+                    "attn_ln": _ln(sd, f"{pre}.sa_layer_norm"),
+                    "mlp_in": _lin(sd, f"{pre}.ffn.lin1"),
+                    "mlp_out": _lin(sd, f"{pre}.ffn.lin2"),
+                    "mlp_ln": _ln(sd, f"{pre}.output_layer_norm"),
+                }
+            )
+        return p
     for i in range(num_layers):
         pre = f"encoder.layer.{i}"
         p["layers"].append(

@@ -106,6 +106,11 @@ class DenseRetriever(Retriever):
 
     def _build_encode(self) -> Callable:
         cfg = self.cfg
+        if self.pooler not in bert.POOLERS:
+            raise ValueError(
+                f"Unknown pooler {self.pooler!r}; expected one of "
+                f"{sorted(bert.POOLERS)}"
+            )
         pool = bert.POOLERS[self.pooler]
         normalize = self.similarity == "cos"
         mesh = self.mesh

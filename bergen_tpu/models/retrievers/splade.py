@@ -33,6 +33,7 @@ class SpladeRetriever(Retriever):
         max_len: int = 256,
         nnz: int = 256,
         batch_size: int = 128,
+        query_encoder_name: str | None = None,
     ):
         from transformers import AutoConfig, AutoModelForMaskedLM, AutoTokenizer
 
@@ -52,6 +53,20 @@ class SpladeRetriever(Retriever):
             dtype=dtype,
         )
         del hf_model
+        # efficient-splade uses distinct doc/query encoders
+        # (reference splade.py:13-29, config splade-efficient.yaml). NB the
+        # reference's __call__ (:40) overwrites the query-encoder output with
+        # the doc model's logits, so its asymmetric path never takes effect;
+        # here queries genuinely use the query encoder.
+        if query_encoder_name is not None:
+            q_model = AutoModelForMaskedLM.from_pretrained(query_encoder_name)
+            self.query_params = convert.to_device_tree(
+                convert.bert_from_hf(q_model.state_dict(), self.cfg.num_layers),
+                dtype=dtype,
+            )
+            del q_model
+        else:
+            self.query_params = self.params
         self.mesh = get_mesh()
         self.buckets = make_buckets(max_len)
         cfg = self.cfg
@@ -68,7 +83,9 @@ class SpladeRetriever(Retriever):
     def embedding_dim(self) -> int:
         return self.cfg.vocab_size
 
-    def _run_batch(self, texts: list[str]) -> np.ndarray:
+    def _run_batch(self, texts: list[str], params=None) -> np.ndarray:
+        if params is None:
+            params = self.params
         enc = self.tokenizer(
             texts, truncation=True, max_length=self.max_len, padding=False
         )
@@ -87,7 +104,7 @@ class SpladeRetriever(Retriever):
         ii, n = pad_batch_to_devices(ii, n_dev)
         am, _ = pad_batch_to_devices(am, n_dev)
         out = self._encode(
-            self.params,
+            params,
             jax.device_put(jnp.asarray(ii), sharding),
             jax.device_put(jnp.asarray(am), sharding),
         )
@@ -96,11 +113,12 @@ class SpladeRetriever(Retriever):
     def encode(self, texts: list[str], query_or_doc: str) -> np.ndarray:
         """Dense [B, V] sparse-activation vectors (used for queries and as the
         source for fixed-width doc compression)."""
+        params = self.query_params if query_or_doc == "query" else self.params
         order = np.argsort([len(t) for t in texts], kind="stable")
         out = np.zeros((len(texts), self.cfg.vocab_size), dtype=np.float32)
         for s in range(0, len(texts), self.batch_size):
             idx = order[s : s + self.batch_size]
-            out[idx] = self._run_batch([texts[i] for i in idx])
+            out[idx] = self._run_batch([texts[i] for i in idx], params)
         return out
 
     def encode_sparse(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:

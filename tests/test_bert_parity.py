@@ -129,3 +129,32 @@ def test_classification_head_parity(batch):
         )
     )
     np.testing.assert_allclose(logits, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_distilbert_hidden_states_parity(batch):
+    """DistilBERT (tasb backbone) maps onto the same BERT block: no token-type
+    embeddings, renamed keys (reference config/retriever/tasb.yaml)."""
+    from transformers import DistilBertConfig, DistilBertModel
+
+    torch.manual_seed(0)
+    cfg = DistilBertConfig(
+        vocab_size=200, dim=64, n_layers=3, n_heads=4, hidden_dim=128,
+        max_position_embeddings=96,
+    )
+    model = DistilBertModel(cfg).eval()
+    input_ids, attention_mask = batch
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attention_mask),
+        ).last_hidden_state.numpy()
+
+    jcfg = bert.BertConfig.from_hf(cfg)
+    assert jcfg.type_vocab_size == 0
+    params = convert.bert_from_hf(model.state_dict(), jcfg.num_layers)
+    assert "token_type" not in params["embeddings"]
+    out = np.asarray(
+        bert.encode(params, jcfg, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+    )
+    valid = attention_mask.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=2e-4, rtol=1e-3)

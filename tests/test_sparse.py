@@ -105,3 +105,23 @@ def test_splade_retrieval_pipeline(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["score"]), vals_ref, rtol=0.02, atol=0.05
     )
+
+
+def test_splade_asymmetric_query_encoder(tmp_path):
+    """efficient-splade (config splade-efficient.yaml) encodes queries with a
+    separate checkpoint; docs must use the doc encoder, queries the query one."""
+    from tiny_models import build_tiny_bert
+    from bergen_tpu.models.retrievers.splade import SpladeRetriever
+
+    doc_dir = build_tiny_bert(str(tmp_path / "d"), with_mlm=True, seed=0)
+    q_dir = build_tiny_bert(str(tmp_path / "q"), with_mlm=True, seed=7)
+    sym = SpladeRetriever(doc_dir, max_len=32, nnz=16, batch_size=8)
+    asym = SpladeRetriever(doc_dir, max_len=32, nnz=16, batch_size=8,
+                           query_encoder_name=q_dir)
+    texts = ["alpha beta", "gamma delta epsilon"]
+    np.testing.assert_allclose(
+        asym.encode(texts, "doc"), sym.encode(texts, "doc"), atol=1e-6
+    )
+    q_sym = sym.encode(texts, "query")
+    q_asym = asym.encode(texts, "query")
+    assert np.abs(q_sym - q_asym).max() > 1e-3  # different weights, different output
