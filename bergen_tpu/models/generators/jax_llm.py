@@ -35,6 +35,8 @@ class LLM(Generator):
         prompt=None,
         quantization: str | None = None,  # accepted for config parity; bf16 on TPU
         tp: int = 1,
+        gguf_file: str | None = None,  # GGUF checkpoints (reference hf.yaml:
+        # gguf_file), dequantized by transformers at load
         **_ignored,
     ):
         super().__init__(
@@ -45,7 +47,8 @@ class LLM(Generator):
         from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
 
         self.prompt = prompt
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        _load_kw = {"gguf_file": gguf_file} if gguf_file else {}
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name, **_load_kw)
         self.tokenizer.padding_side = "left"
         # pad priority: bos > pad > eos (reference llm.py:86-92)
         self.tokenizer.pad_token = (
@@ -54,12 +57,12 @@ class LLM(Generator):
             or self.tokenizer.eos_token
         )
 
-        hf_cfg = AutoConfig.from_pretrained(model_name)
+        hf_cfg = AutoConfig.from_pretrained(model_name, **_load_kw)
         self.cfg = llama.LlamaConfig.from_hf(hf_cfg)
 
         on_tpu = jax.default_backend() == "tpu"
         self.dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        hf_model = AutoModelForCausalLM.from_pretrained(model_name)
+        hf_model = AutoModelForCausalLM.from_pretrained(model_name, **_load_kw)
         params = convert.llama_from_hf(hf_model.state_dict(), self.cfg.num_layers)
         del hf_model
         if quantization in ("int8", "int4"):
