@@ -160,7 +160,9 @@ def _load_group_option(config_path: str, group: str, choice: Any) -> Any:
         avail: Iterable[str] = []
         if os.path.isdir(avail_dir):
             avail = sorted(
-                f[:-5] for f in os.listdir(avail_dir) if f.endswith(".yaml")
+                [f[:-5] for f in os.listdir(avail_dir) if f.endswith(".yaml")]
+                + [f"{d}/" for d in os.listdir(avail_dir)
+                   if os.path.isdir(os.path.join(avail_dir, d))]
             )
         raise FileNotFoundError(
             f"Config group '{group}' has no option '{choice}'. "
