@@ -152,8 +152,23 @@ def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
                 "o": _attn_lin(pre, "o_proj"),
             },
             "attn_norm": {"scale": _t(sd[f"{pre}.input_layernorm.weight"])},
-            "mlp_norm": {"scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])},
         }
+        if f"{pre}.pre_feedforward_layernorm.weight" in sd:
+            # gemma-2 sandwich norms: post_attention norms the attn OUTPUT,
+            # pre/post_feedforward wrap the MLP
+            entry["post_attn_norm"] = {
+                "scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])
+            }
+            entry["mlp_norm"] = {
+                "scale": _t(sd[f"{pre}.pre_feedforward_layernorm.weight"])
+            }
+            entry["post_mlp_norm"] = {
+                "scale": _t(sd[f"{pre}.post_feedforward_layernorm.weight"])
+            }
+        else:
+            entry["mlp_norm"] = {
+                "scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])
+            }
         if f"{pre}.mlp.gate_proj.weight" in sd:
             entry["mlp"] = {
                 "gate": {"kernel": _t(sd[f"{pre}.mlp.gate_proj.weight"]).T},

@@ -48,6 +48,13 @@ class LlamaConfig:
     embed_scale: bool = False            # x *= sqrt(hidden) after embedding
     norm_offset: float = 0.0             # rmsnorm uses (weight + offset)
     head_dim_override: int | None = None
+    # gemma-2 deltas (0/None disable — reference drives gemma-2-9b-it through
+    # config/generator/gemma-2-9b-it.yaml)
+    attn_logit_softcap: float = 0.0      # cap*tanh(s/cap) on attention scores
+    final_logit_softcap: float = 0.0     # cap*tanh(l/cap) on lm logits
+    query_pre_attn_scalar: float | None = None  # replaces 1/sqrt(head_dim)
+    sliding_window: int = 0              # even layers attend locally if > 0
+    post_norms: bool = False             # sandwich norms around attn/mlp
     # mixtral-family MoE (0 experts = dense llama MLP)
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -82,6 +89,13 @@ class LlamaConfig:
             head_dim_override=getattr(hf_cfg, "head_dim", None)
             if is_gemma
             else None,
+            attn_logit_softcap=getattr(hf_cfg, "attn_logit_softcapping", None) or 0.0,
+            final_logit_softcap=getattr(hf_cfg, "final_logit_softcapping", None) or 0.0,
+            query_pre_attn_scalar=getattr(hf_cfg, "query_pre_attn_scalar", None)
+            if getattr(hf_cfg, "model_type", "") == "gemma2" else None,
+            sliding_window=(getattr(hf_cfg, "sliding_window", None) or 0)
+            if getattr(hf_cfg, "model_type", "") == "gemma2" else 0,
+            post_norms=getattr(hf_cfg, "model_type", "") == "gemma2",
             num_experts=getattr(hf_cfg, "num_local_experts", 0) or 0,
             num_experts_per_tok=getattr(hf_cfg, "num_experts_per_tok", 2),
         )
@@ -104,25 +118,28 @@ def init(key, cfg: LlamaConfig) -> Params:
         "final_norm": {"scale": jnp.ones((D,), jnp.float32)},
         "layers": [],
     }
+    QD = cfg.num_heads * cfg.head_dim
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[i + 1], 7)
-        p["layers"].append(
-            {
-                "attn": {
-                    "q": dense_w(ks[0], D, D),
-                    "k": dense_w(ks[1], D, KV),
-                    "v": dense_w(ks[2], D, KV),
-                    "o": dense_w(ks[3], D, D),
-                },
-                "attn_norm": {"scale": jnp.ones((D,), jnp.float32)},
-                "mlp": {
-                    "gate": dense_w(ks[4], D, cfg.intermediate_size),
-                    "up": dense_w(ks[5], D, cfg.intermediate_size),
-                    "down": dense_w(ks[6], cfg.intermediate_size, D),
-                },
-                "mlp_norm": {"scale": jnp.ones((D,), jnp.float32)},
-            }
-        )
+        entry = {
+            "attn": {
+                "q": dense_w(ks[0], D, QD),
+                "k": dense_w(ks[1], D, KV),
+                "v": dense_w(ks[2], D, KV),
+                "o": dense_w(ks[3], QD, D),
+            },
+            "attn_norm": {"scale": jnp.ones((D,), jnp.float32)},
+            "mlp": {
+                "gate": dense_w(ks[4], D, cfg.intermediate_size),
+                "up": dense_w(ks[5], D, cfg.intermediate_size),
+                "down": dense_w(ks[6], cfg.intermediate_size, D),
+            },
+            "mlp_norm": {"scale": jnp.ones((D,), jnp.float32)},
+        }
+        if cfg.post_norms:
+            entry["post_attn_norm"] = {"scale": jnp.ones((D,), jnp.float32)}
+            entry["post_mlp_norm"] = {"scale": jnp.ones((D,), jnp.float32)}
+        p["layers"].append(entry)
     if not cfg.tie_word_embeddings:
         p["lm_head"] = dense_w(keys[-1], D, cfg.vocab_size)
     return p
@@ -222,6 +239,7 @@ def _attention(
     li: int,                 # this layer's cache row
     cursor: jnp.ndarray,     # scalar: write offset in cache
     attn_mask: jnp.ndarray,  # [B, S, L] boolean — may attend
+    sliding: bool = False,   # gemma-2: this layer attends locally
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, S, D = x.shape
     H, KH, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -243,7 +261,17 @@ def _attention(
     k_cache = k_all[li]
     v_cache = v_all[li]
 
-    if _flash_enabled(S):
+    if sliding and cfg.sliding_window:
+        # gemma-2 local attention: with left padding, slot distance equals
+        # token distance for real-token pairs (pads are masked separately),
+        # so the window constraint is slot-based: key slot j is visible to
+        # query slot (cursor + s) iff (cursor + s) - j < window
+        L = k_cache.shape[1]
+        q_slots = cursor + jnp.arange(S)
+        dist = q_slots[:, None] - jnp.arange(L)[None, :]  # [S, L]
+        attn_mask = attn_mask & (dist < cfg.sliding_window)[None]
+
+    if _flash_enabled(S) and not (sliding and cfg.sliding_window):
         # prefill (cursor==0): slot-causal + key-validity; the last query row
         # of attn_mask is exactly the key-validity vector
         from bergen_tpu.ops.flash_attention import flash_attention
@@ -257,9 +285,17 @@ def _attention(
 
     group = H // KH
     qg = q.reshape(B, S, KH, group, Dh)
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None
+        else 1.0 / math.sqrt(Dh)
+    )
     scores = jnp.einsum(
         "bskgd,blkd->bkgsl", qg, k_cache, preferred_element_type=jnp.float32
-    ) / math.sqrt(Dh)
+    ) * scale
+    if cfg.attn_logit_softcap:
+        cap = cfg.attn_logit_softcap
+        scores = cap * jnp.tanh(scores / cap)
     bias = jnp.where(attn_mask[:, None, None, :, :], 0.0, -1e30)
     probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
     ctx = jnp.einsum(
@@ -352,13 +388,20 @@ def forward(
         a, k_all, v_all = _attention(
             layer, cfg, h, positions, inv_freq, k_all, v_all, li, cursor,
             attn_mask,
+            # gemma-2 interleaves local/global attention: even layers sliding
+            sliding=cfg.post_norms and li % 2 == 0,
         )
+        if cfg.post_norms:  # gemma-2 sandwich: norm the sublayer OUTPUT too
+            a = _norm(layer["post_attn_norm"], a, cfg)
         x = x + a
         h = _norm(layer["mlp_norm"], x, cfg)
         if "moe" in layer:
-            x = x + _moe(layer, cfg, h)
+            m = _moe(layer, cfg, h)
         else:
-            x = x + _mlp(layer, h, cfg.hidden_act)
+            m = _mlp(layer, h, cfg.hidden_act)
+        if cfg.post_norms:
+            m = _norm(layer["post_mlp_norm"], m, cfg)
+        x = x + m
 
     x = _norm(params["final_norm"], x, cfg)
     head = params.get("lm_head")
@@ -368,6 +411,9 @@ def forward(
         )
     else:
         logits = _proj(head, x).astype(jnp.float32)
+    if cfg.final_logit_softcap:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
     new_cache = {
         "k": k_all,
         "v": v_all,
@@ -464,6 +510,9 @@ def param_shardings(params: Params, model_axis: str = "model") -> Params:
             "attn_norm": {"scale": P()},
             "mlp_norm": {"scale": P()},
         }
+        for extra in ("post_attn_norm", "post_mlp_norm"):  # gemma-2
+            if extra in layer:
+                entry[extra] = {"scale": P()}
         if "moe" in layer:
             # expert parallelism: the stacked expert axis shards over the
             # mesh model axis; router replicated

@@ -55,6 +55,14 @@ class GenerationServer:
         prompt_buckets: tuple = (32, 64, 128, 256),
         dtype=jnp.float32,
     ):
+        if cfg.post_norms or cfg.attn_logit_softcap or cfg.num_experts:
+            # the slot-pool decode step below hand-rolls the llama block; it
+            # does not implement gemma-2 sandwich norms/softcapping or MoE —
+            # fail loudly rather than generate silently-wrong tokens
+            raise NotImplementedError(
+                "GenerationServer supports llama/mistral/qwen2-layout models; "
+                "use jax_llm.LLM for gemma-2 and mixtral"
+            )
         self.params = params
         self.cfg = cfg
         self.eos = eos_token_id
