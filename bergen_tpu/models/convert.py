@@ -142,15 +142,31 @@ def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
             entry["bias"] = _t(sd[f"{pre}.self_attn.{name}.bias"])
         return entry
 
+    def _attn_block(pre: str) -> Dict[str, Any]:
+        if f"{pre}.self_attn.qkv_proj.weight" in sd:
+            # phi-3 fuses q/k/v rows [q; k; v]; q's width equals o_proj's
+            # in-features (H*Dh), k and v split the rest evenly
+            qkv = _t(sd[f"{pre}.self_attn.qkv_proj.weight"]).T  # [D, q+k+v]
+            o = _t(sd[f"{pre}.self_attn.o_proj.weight"]).T      # [H*Dh, D]
+            q_w = o.shape[0]
+            kv_w = (qkv.shape[1] - q_w) // 2
+            return {
+                "q": {"kernel": qkv[:, :q_w]},
+                "k": {"kernel": qkv[:, q_w : q_w + kv_w]},
+                "v": {"kernel": qkv[:, q_w + kv_w :]},
+                "o": {"kernel": o},
+            }
+        return {
+            "q": _attn_lin(pre, "q_proj"),
+            "k": _attn_lin(pre, "k_proj"),
+            "v": _attn_lin(pre, "v_proj"),
+            "o": _attn_lin(pre, "o_proj"),
+        }
+
     for i in range(num_layers):
         pre = f"layers.{i}"
         entry: Dict[str, Any] = {
-            "attn": {
-                "q": _attn_lin(pre, "q_proj"),
-                "k": _attn_lin(pre, "k_proj"),
-                "v": _attn_lin(pre, "v_proj"),
-                "o": _attn_lin(pre, "o_proj"),
-            },
+            "attn": _attn_block(pre),
             "attn_norm": {"scale": _t(sd[f"{pre}.input_layernorm.weight"])},
         }
         if f"{pre}.pre_feedforward_layernorm.weight" in sd:
@@ -169,7 +185,16 @@ def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
             entry["mlp_norm"] = {
                 "scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])
             }
-        if f"{pre}.mlp.gate_proj.weight" in sd:
+        if f"{pre}.mlp.gate_up_proj.weight" in sd:
+            # phi-3 fuses [gate; up]
+            gu = _t(sd[f"{pre}.mlp.gate_up_proj.weight"]).T  # [D, 2I]
+            half = gu.shape[1] // 2
+            entry["mlp"] = {
+                "gate": {"kernel": gu[:, :half]},
+                "up": {"kernel": gu[:, half:]},
+                "down": {"kernel": _t(sd[f"{pre}.mlp.down_proj.weight"]).T},
+            }
+        elif f"{pre}.mlp.gate_proj.weight" in sd:
             entry["mlp"] = {
                 "gate": {"kernel": _t(sd[f"{pre}.mlp.gate_proj.weight"]).T},
                 "up": {"kernel": _t(sd[f"{pre}.mlp.up_proj.weight"]).T},

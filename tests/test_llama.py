@@ -156,3 +156,35 @@ def test_generator_class_end_to_end(tiny_llama):
     assert "Document 1:" in instructions[0]
     # prompt compiler uses the chat template
     assert "assistant :" in instructions[0]
+
+
+# --------------------------------------------------------------------------- #
+# phi-3: fused qkv_proj / gate_up_proj layout
+# --------------------------------------------------------------------------- #
+
+
+def test_phi3_logits_parity():
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Phi3Config(
+        vocab_size=96, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=128, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    model = Phi3ForCausalLM(hf_cfg).eval()
+    cfg = llama.LlamaConfig.from_hf(hf_cfg)
+    params = convert.llama_from_hf(model.state_dict(), cfg.num_layers)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(3, 96, (2, 7)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.float().numpy()
+    cache = llama.init_cache(cfg, 2, 7, jnp.float32)
+    pos = np.broadcast_to(np.arange(7), (2, 7)).astype(np.int32)
+    mask = np.broadcast_to(np.tril(np.ones((7, 7), bool)), (2, 7, 7))
+    logits, _ = llama.forward(
+        params, cfg, jnp.asarray(ids), jnp.asarray(pos), cache, jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-2)
