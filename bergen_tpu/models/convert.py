@@ -181,10 +181,11 @@ def llama_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
             entry["post_mlp_norm"] = {
                 "scale": _t(sd[f"{pre}.post_feedforward_layernorm.weight"])
             }
-        else:
+        elif f"{pre}.post_attention_layernorm.weight" in sd:
             entry["mlp_norm"] = {
                 "scale": _t(sd[f"{pre}.post_attention_layernorm.weight"])
             }
+        # else: cohere parallel block — single input_layernorm per layer
         if f"{pre}.mlp.gate_up_proj.weight" in sd:
             # phi-3 fuses [gate; up]
             gu = _t(sd[f"{pre}.mlp.gate_up_proj.weight"]).T  # [D, 2I]

@@ -55,6 +55,11 @@ class LlamaConfig:
     query_pre_attn_scalar: float | None = None  # replaces 1/sqrt(head_dim)
     sliding_window: int = 0              # even layers attend locally if > 0
     post_norms: bool = False             # sandwich norms around attn/mlp
+    # cohere/command-r deltas (reference config/generator/command-r-35b.yaml)
+    parallel_block: bool = False         # x + attn(ln(x)) + mlp(ln(x))
+    use_layernorm: bool = False          # mean-centered LN (no bias) not RMS
+    logit_scale: float = 0.0             # multiply lm logits (0 = off)
+    rope_interleaved: bool = False       # cohere pairs (even, odd) dims
     # mixtral-family MoE (0 experts = dense llama MLP)
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -81,7 +86,8 @@ class LlamaConfig:
             intermediate_size=hf_cfg.intermediate_size,
             max_position_embeddings=hf_cfg.max_position_embeddings,
             rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
-            rms_norm_eps=hf_cfg.rms_norm_eps,
+            rms_norm_eps=getattr(hf_cfg, "rms_norm_eps", None)
+            or getattr(hf_cfg, "layer_norm_eps", 1e-5),
             tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
             hidden_act=act,
             embed_scale=is_gemma,
@@ -96,6 +102,10 @@ class LlamaConfig:
             sliding_window=(getattr(hf_cfg, "sliding_window", None) or 0)
             if getattr(hf_cfg, "model_type", "") == "gemma2" else 0,
             post_norms=getattr(hf_cfg, "model_type", "") == "gemma2",
+            parallel_block=getattr(hf_cfg, "model_type", "") == "cohere",
+            use_layernorm=getattr(hf_cfg, "model_type", "") == "cohere",
+            logit_scale=getattr(hf_cfg, "logit_scale", None) or 0.0,
+            rope_interleaved=getattr(hf_cfg, "model_type", "") == "cohere",
             num_experts=getattr(hf_cfg, "num_local_experts", 0) or 0,
             num_experts_per_tok=getattr(hf_cfg, "num_experts_per_tok", 2),
         )
@@ -156,14 +166,23 @@ def rope_frequencies(cfg: LlamaConfig) -> jnp.ndarray:
     return inv  # [dim/2]
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray):
-    """x: [B, S, H, Dh]; positions: [B, S]. HF 'interleaved-half' convention:
-    rotate_half(x) = (-x2, x1) with x split into two contiguous halves."""
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray,
+               interleaved: bool = False):
+    """x: [B, S, H, Dh]; positions: [B, S]. Default is HF llama's split-half
+    convention (rotate_half over two contiguous halves); ``interleaved=True``
+    is cohere's pairing of (even, odd) dims."""
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, Dh/2]
     cos = jnp.cos(angles)[:, :, None, :]  # [B, S, 1, Dh/2]
     sin = jnp.sin(angles)[:, :, None, :]
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    xf = x.astype(jnp.float32)
+    if interleaved:
+        x1, x2 = xf[..., ::2], xf[..., 1::2]
+        out = jnp.stack(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).reshape(x.shape)
+    else:
+        x1, x2 = jnp.split(xf, 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
 
 
@@ -247,8 +266,8 @@ def _attention(
     q = _proj(layer["attn"]["q"], x).reshape(B, S, H, Dh)
     k = _proj(layer["attn"]["k"], x).reshape(B, S, KH, Dh)
     v = _proj(layer["attn"]["v"], x).reshape(B, S, KH, Dh)
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
+    k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
 
     # write IN PLACE into the stacked cache (XLA aliases the donated carry;
     # per-layer slice+restack forced a full cache copy every decode step)
@@ -313,6 +332,13 @@ _ACTS = {
 
 
 def _norm(p: Params, x: jnp.ndarray, cfg: LlamaConfig) -> jnp.ndarray:
+    if cfg.use_layernorm:
+        # cohere: mean-centered, bias-free LayerNorm computed in fp32
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        return (y * p["scale"]).astype(x.dtype)
     if cfg.norm_offset:
         p = {"scale": p["scale"] + cfg.norm_offset}
     return rmsnorm(p, x, cfg.rms_norm_eps)
@@ -391,6 +417,11 @@ def forward(
             # gemma-2 interleaves local/global attention: even layers sliding
             sliding=cfg.post_norms and li % 2 == 0,
         )
+        if cfg.parallel_block:
+            # cohere: attention and MLP both read the same normed input,
+            # both outputs join the residual (single norm per layer)
+            x = x + a + _mlp(layer, h, cfg.hidden_act)
+            continue
         if cfg.post_norms:  # gemma-2 sandwich: norm the sublayer OUTPUT too
             a = _norm(layer["post_attn_norm"], a, cfg)
         x = x + a
@@ -411,6 +442,8 @@ def forward(
         )
     else:
         logits = _proj(head, x).astype(jnp.float32)
+    if cfg.logit_scale:
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
@@ -508,9 +541,9 @@ def param_shardings(params: Params, model_axis: str = "model") -> Params:
         entry = {
             "attn": {n: attn_spec(n) for n in ("q", "k", "v", "o")},
             "attn_norm": {"scale": P()},
-            "mlp_norm": {"scale": P()},
         }
-        for extra in ("post_attn_norm", "post_mlp_norm"):  # gemma-2
+        # gemma-2 sandwich norms; cohere parallel block has no mlp_norm
+        for extra in ("mlp_norm", "post_attn_norm", "post_mlp_norm"):
             if extra in layer:
                 entry[extra] = {"scale": P()}
         if "moe" in layer:

@@ -55,7 +55,8 @@ class GenerationServer:
         prompt_buckets: tuple = (32, 64, 128, 256),
         dtype=jnp.float32,
     ):
-        if cfg.post_norms or cfg.attn_logit_softcap or cfg.num_experts:
+        if (cfg.post_norms or cfg.attn_logit_softcap or cfg.num_experts
+                or cfg.parallel_block):
             # the slot-pool decode step below hand-rolls the llama block; it
             # does not implement gemma-2 sandwich norms/softcapping or MoE —
             # fail loudly rather than generate silently-wrong tokens

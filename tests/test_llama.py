@@ -188,3 +188,70 @@ def test_phi3_logits_parity():
         params, cfg, jnp.asarray(ids), jnp.asarray(pos), cache, jnp.asarray(mask)
     )
     np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-2)
+
+
+# --------------------------------------------------------------------------- #
+# cohere / command-r: parallel residual block, bias-free LayerNorm,
+# interleaved rope, logit_scale, tied embeddings
+# --------------------------------------------------------------------------- #
+
+
+def test_cohere_logits_parity():
+    from transformers import CohereConfig, CohereForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = CohereConfig(
+        vocab_size=96, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=128, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, logit_scale=0.25,
+    )
+    model = CohereForCausalLM(hf_cfg).eval()
+    cfg = llama.LlamaConfig.from_hf(hf_cfg)
+    assert cfg.parallel_block and cfg.use_layernorm and cfg.rope_interleaved
+    assert cfg.logit_scale == 0.25
+    params = convert.llama_from_hf(model.state_dict(), cfg.num_layers)
+    assert "mlp_norm" not in params["layers"][0]
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(3, 96, (2, 7)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.float().numpy()
+    cache = llama.init_cache(cfg, 2, 7, jnp.float32)
+    pos = np.broadcast_to(np.arange(7), (2, 7)).astype(np.int32)
+    mask = np.broadcast_to(np.tril(np.ones((7, 7), bool)), (2, 7, 7))
+    logits, _ = llama.forward(
+        params, cfg, jnp.asarray(ids), jnp.asarray(pos), cache, jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=5e-4, rtol=1e-2)
+
+
+def test_cohere_greedy_matches_hf():
+    from transformers import CohereConfig, CohereForCausalLM
+
+    torch.manual_seed(1)
+    hf_cfg = CohereConfig(
+        vocab_size=96, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=128, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, logit_scale=0.0625,
+    )
+    model = CohereForCausalLM(hf_cfg).eval()
+    cfg = llama.LlamaConfig.from_hf(hf_cfg)
+    params = convert.llama_from_hf(model.state_dict(), cfg.num_layers)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(3, 96, (2, 6)).astype(np.int32)
+    am = np.ones((2, 6), np.int32)
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(am),
+            do_sample=False, max_new_tokens=5, pad_token_id=0,
+        ).numpy()[:, 6:]
+    toks = np.asarray(llama.greedy_generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(am), 5,
+        eos_token_id=2, pad_token_id=0, cache_dtype=jnp.float32,
+    ))
+    for b in range(2):
+        stop = np.where(ref[b] == 2)[0]
+        n = stop[0] + 1 if len(stop) else ref.shape[1]
+        np.testing.assert_array_equal(toks[b][:n], ref[b][:n])
