@@ -24,7 +24,10 @@ class MKQA(Processor):
 
     def __init__(self, lang, *args, **kwargs):
         super().__init__(*args, **kwargs, dataset_name=f"mkqa_{lang}")
-        self.lang = lang
+        # the MKQA dataset has no bare "zh" key (only zh_cn/zh_hk/zh_tw);
+        # normalize so the mkqa_zh configs and qrel.mkqa_zh filenames work
+        # while sample access uses the real simplified-Chinese key
+        self.lang = {"zh": "zh_cn"}.get(lang, lang)
 
     def process(self):
         mkqa = datasets.load_dataset("mkqa", trust_remote_code=True)

@@ -63,6 +63,14 @@ class LlamaConfig:
     # mixtral-family MoE (0 experts = dense llama MLP)
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # rope scaling (llama-3.x band interpolation / linear position scaling;
+    # reference routes rope-scaled checkpoints like Llama-3.2-3B-Instruct
+    # through HF which applies hf_cfg.rope_scaling automatically)
+    rope_scaling_type: str | None = None  # None | "llama3" | "linear"
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_pos: int = 8192
 
     @property
     def head_dim(self) -> int:
@@ -76,6 +84,15 @@ class LlamaConfig:
         act = getattr(hf_cfg, "hidden_act", None) or getattr(
             hf_cfg, "hidden_activation", None
         ) or "silu"
+        rs = getattr(hf_cfg, "rope_scaling", None) or {}
+        rs_type = rs.get("rope_type", rs.get("type", None))
+        if rs_type in (None, "default"):
+            rs_type = None
+        elif rs_type not in ("llama3", "linear"):
+            raise NotImplementedError(
+                f"rope_scaling type {rs_type!r} is not implemented; supported: "
+                "llama3 (band interpolation), linear"
+            )
         return cls(
             vocab_size=hf_cfg.vocab_size,
             hidden_size=hf_cfg.hidden_size,
@@ -108,6 +125,13 @@ class LlamaConfig:
             rope_interleaved=getattr(hf_cfg, "model_type", "") == "cohere",
             num_experts=getattr(hf_cfg, "num_local_experts", 0) or 0,
             num_experts_per_tok=getattr(hf_cfg, "num_experts_per_tok", 2),
+            rope_scaling_type=rs_type,
+            rope_scaling_factor=float(rs.get("factor", 1.0)),
+            rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            rope_original_max_pos=int(
+                rs.get("original_max_position_embeddings", 8192)
+            ),
         )
 
 
@@ -163,6 +187,23 @@ def init(key, cfg: LlamaConfig) -> Params:
 def rope_frequencies(cfg: LlamaConfig) -> jnp.ndarray:
     dim = cfg.head_dim
     inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    if cfg.rope_scaling_type == "linear":
+        inv = inv / cfg.rope_scaling_factor
+    elif cfg.rope_scaling_type == "llama3":
+        # llama-3.1/3.2 band interpolation: long wavelengths (low freqs) are
+        # scaled down by `factor`, short ones kept, and the band between
+        # high/low_freq_factor is smoothly interpolated
+        low_wl = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
+        high_wl = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
+        wavelen = 2.0 * math.pi / inv
+        scaled = inv / cfg.rope_scaling_factor
+        smooth = (cfg.rope_original_max_pos / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        mid = (1.0 - smooth) * scaled + smooth * inv
+        inv = jnp.where(
+            wavelen < high_wl, inv, jnp.where(wavelen > low_wl, scaled, mid)
+        )
     return inv  # [dim/2]
 
 
@@ -290,7 +331,15 @@ def _attention(
         dist = q_slots[:, None] - jnp.arange(L)[None, :]  # [S, L]
         attn_mask = attn_mask & (dist < cfg.sliding_window)[None]
 
-    if _flash_enabled(S) and not (sliding and cfg.sliding_window):
+    # the flash kernel implements plain 1/sqrt(Dh)-scaled softmax attention:
+    # skip it for sliding-window layers AND whenever softcapping or a custom
+    # query scale is configured (gemma-2 global layers), matching serve/engine
+    flash_compatible = (
+        not (sliding and cfg.sliding_window)
+        and not cfg.attn_logit_softcap
+        and cfg.query_pre_attn_scalar is None
+    )
+    if _flash_enabled(S) and flash_compatible:
         # prefill (cursor==0): slot-causal + key-validity; the last query row
         # of attn_mask is exactly the key-validity vector
         from bergen_tpu.ops.flash_attention import flash_attention

@@ -92,13 +92,20 @@ class ProvenceTrainer:
         loss_weight: float = 1.0,
         seed: int = 0,
     ):
-        from transformers import AutoConfig, AutoModel, AutoTokenizer
+        from transformers import (
+            AutoConfig, AutoModelForSequenceClassification, AutoTokenizer,
+        )
         from bergen_tpu.models import convert
 
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
         hf_cfg = AutoConfig.from_pretrained(model_name)
         self.cfg = deberta.DebertaConfig.from_hf(hf_cfg)
-        hf_model = AutoModel.from_pretrained(model_name)
+        # load WITH the sequence-classification head: a cross-encoder teacher
+        # checkpoint carries the trained pooler/classifier weights that seed
+        # the ranking head (reference DebertaV2ForCompressionAndRanking
+        # .from_pretrained keeps them; bare AutoModel would drop them and
+        # init_heads would random-init the ranking head instead)
+        hf_model = AutoModelForSequenceClassification.from_pretrained(model_name)
         params = deberta.deberta_from_hf(
             hf_model.state_dict(), self.cfg.num_layers
         )

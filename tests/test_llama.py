@@ -255,3 +255,68 @@ def test_cohere_greedy_matches_hf():
         stop = np.where(ref[b] == 2)[0]
         n = stop[0] + 1 if len(stop) else ref.shape[1]
         np.testing.assert_array_equal(toks[b][:n], ref[b][:n])
+
+
+# ---------------------------------------------------------------------------
+# rope scaling (llama-3.1/3.2 band interpolation — reference runs e.g.
+# meta-llama/Llama-3.2-3B-Instruct whose config carries rope_scaling llama3)
+# ---------------------------------------------------------------------------
+
+
+def test_llama3_rope_scaling_logits_parity(tmp_path):
+    from tiny_models import build_tiny_llama
+    from transformers import AutoModelForCausalLM
+
+    d = build_tiny_llama(
+        str(tmp_path / "llama_rs"), rope_scaling={
+            "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 32,
+        },
+    )
+    model = AutoModelForCausalLM.from_pretrained(d).eval()
+    cfg = llama.LlamaConfig.from_hf(model.config)
+    assert cfg.rope_scaling_type == "llama3"
+    params = convert.llama_from_hf(model.state_dict(), cfg.num_layers)
+
+    # long enough (> original_max/2) that scaled low-freq bands matter
+    rng = np.random.default_rng(3)
+    ids = rng.integers(4, 40, (1, 48)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.float().numpy()
+    B, S = ids.shape
+    cache = llama.init_cache(cfg, B, S, dtype=jnp.float32)
+    positions = np.broadcast_to(np.arange(S), (B, S)).astype(np.int32)
+    mask = np.tril(np.ones((S, S), bool))[None].repeat(B, 0)
+    logits, _ = llama.forward(
+        params, cfg, jnp.asarray(ids), jnp.asarray(positions), cache,
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=1e-3)
+    # an unscaled config on the same weights must DIFFER (guard against the
+    # scaling silently not being applied)
+    cfg_plain = dataclasses_replace_no_scaling(cfg)
+    logits2, _ = llama.forward(
+        params, cfg_plain, jnp.asarray(ids), jnp.asarray(positions),
+        llama.init_cache(cfg_plain, B, S, dtype=jnp.float32), jnp.asarray(mask),
+    )
+    assert np.abs(np.asarray(logits2) - ref).max() > 1e-3
+
+
+def dataclasses_replace_no_scaling(cfg):
+    import dataclasses as _dc
+    return _dc.replace(cfg, rope_scaling_type=None)
+
+
+def test_unsupported_rope_scaling_fails_loudly():
+    class FakeCfg:
+        model_type = "llama"
+        vocab_size = 32
+        hidden_size = 16
+        num_hidden_layers = 1
+        num_attention_heads = 2
+        intermediate_size = 32
+        max_position_embeddings = 64
+        rope_scaling = {"rope_type": "yarn", "factor": 4.0}
+
+    with pytest.raises(NotImplementedError):
+        llama.LlamaConfig.from_hf(FakeCfg())

@@ -16,7 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 @pytest.fixture(scope="module")
 def tiny_deberta_dir(tmp_path_factory):
     from tiny_models import build_tiny_bert
-    from transformers import DebertaV2Config, DebertaV2Model, AutoTokenizer
+    from transformers import (
+        AutoTokenizer, DebertaV2Config, DebertaV2ForSequenceClassification,
+    )
 
     out = str(tmp_path_factory.mktemp("deberta"))
     build_tiny_bert(out)  # tokenizer files (WordPiece with [CLS]/[SEP])
@@ -29,10 +31,32 @@ def tiny_deberta_dir(tmp_path_factory):
         position_buckets=16, max_relative_positions=-1,
         norm_rel_ebd="layer_norm", relative_attention=True,
         pos_att_type=["p2c", "c2p"], position_biased_input=False,
-        share_att_key=True,
+        share_att_key=True, num_labels=1,
     )
-    DebertaV2Model(cfg).save_pretrained(out)
+    # a real cross-encoder teacher: trained pooler + ranking classifier
+    DebertaV2ForSequenceClassification(cfg).save_pretrained(out)
     return out
+
+
+def test_teacher_ranking_head_is_reused(tiny_deberta_dir, tmp_path):
+    """The cross-encoder teacher's pooler/classifier must seed the ranking
+    head (not be dropped and random-reinitialised by init_heads)."""
+    from transformers import DebertaV2ForSequenceClassification
+
+    from bergen_tpu.train.provence import ProvenceTrainer
+
+    hf = DebertaV2ForSequenceClassification.from_pretrained(tiny_deberta_dir)
+    t = ProvenceTrainer(tiny_deberta_dir, _rows(2), _rows(2),
+                        str(tmp_path / "o"), max_len=48, batch_size=2,
+                        epochs=1)
+    np.testing.assert_allclose(
+        np.asarray(t.params["classifier"]["kernel"]),
+        hf.classifier.weight.detach().numpy().T, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t.params["pooler"]["kernel"]),
+        hf.pooler.dense.weight.detach().numpy().T, atol=1e-6,
+    )
 
 
 def _rows(n):

@@ -76,7 +76,8 @@ def build_tiny_bert(out_dir: str, with_mlm: bool = False, num_labels: int | None
 
 
 def build_tiny_llama(out_dir: str, hidden: int = 64, layers: int = 2,
-                     seed: int = 0, vocab_extra: int = 0) -> str:
+                     seed: int = 0, vocab_extra: int = 0,
+                     rope_scaling: dict | None = None) -> str:
     """Create a tiny LlamaForCausalLM + word-level tokenizer with a chat
     template, saved to out_dir."""
     from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
@@ -111,6 +112,7 @@ def build_tiny_llama(out_dir: str, hidden: int = 64, layers: int = 2,
         intermediate_size=hidden * 2, max_position_embeddings=512,
         pad_token_id=vocab["<pad>"], bos_token_id=vocab["<s>"],
         eos_token_id=vocab["</s>"], tie_word_embeddings=False,
+        rope_scaling=rope_scaling,
     )
     model = LlamaForCausalLM(cfg)
     model.save_pretrained(out_dir)
