@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import random
 import shutil
@@ -314,11 +315,22 @@ def eval_retrieval_kilt(
     reranking_str = "re" if reranking else ""
     qrels_file = get_qrel_ranking_filename(qrels_folder, query_dataset_name, split, debug)
     if not os.path.exists(qrels_file):
+        logging.getLogger(__name__).warning(
+            "qrels file %s not found — skipping %sranking metrics "
+            "(P_1/recall@%d will NOT be computed for this run)",
+            qrels_file, reranking_str, top_k,
+        )
         return None
     with open(qrels_file) as f:
         qrel = json.load(f)
     if "doc_dataset_name" in qrel:
         if qrel["doc_dataset_name"] != doc_dataset_name:
+            logging.getLogger(__name__).warning(
+                "qrels file %s targets doc dataset %r, not %r — skipping "
+                "%sranking metrics",
+                qrels_file, qrel["doc_dataset_name"], doc_dataset_name,
+                reranking_str,
+            )
             return None
         qrel.pop("doc_dataset_name")
 
