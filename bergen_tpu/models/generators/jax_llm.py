@@ -37,6 +37,10 @@ class LLM(Generator):
         tp: int = 1,
         gguf_file: str | None = None,  # GGUF checkpoints (reference hf.yaml:
         # gguf_file), dequantized by transformers at load
+        serve: bool = False,  # route generation through the continuous-
+        # batching GenerationServer (the vLLM-engine stand-in) instead of
+        # static length-bucketed batches
+        max_slots: int = 16,
         **_ignored,
     ):
         super().__init__(
@@ -118,6 +122,22 @@ class LLM(Generator):
 
         self._prefill_logits = jax.jit(_prefill_logits_fn)
 
+        self.server = None
+        if serve:
+            from bergen_tpu.serve.engine import GenerationServer
+
+            # reserve headroom for generated tokens beyond the prompt bucket
+            serve_len = (max_length or 2048) + max_new_tokens + 1
+            self.server = GenerationServer(
+                params=self.params, cfg=self.cfg,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+                max_slots=max_slots, max_len=serve_len,
+                prompt_buckets=tuple(self.buckets),
+                dtype=self.dtype,
+                mesh=self.mesh if tp > 1 else None,
+            )
+
     # ------------------------------------------------------------------ #
 
     def _tokenize_left_pad(self, prompts: List[str]):
@@ -147,6 +167,19 @@ class LLM(Generator):
         return np.asarray(out)
 
     def generate(self, prompts: List[str]) -> List[str]:
+        if self.server is not None:
+            enc = self.tokenizer(
+                prompts, truncation=True, max_length=self.max_length,
+                padding=False,
+            )
+            rids = [
+                self.server.submit(ids, max_new_tokens=self.max_new_tokens)
+                for ids in enc["input_ids"]
+            ]
+            out = self.server.run()
+            return self.tokenizer.batch_decode(
+                [out[r] for r in rids], skip_special_tokens=True
+            )
         ii, am = self._tokenize_left_pad(prompts)
         toks = self._gen(
             self.params,

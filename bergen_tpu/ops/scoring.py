@@ -103,6 +103,31 @@ def xla_score(queries: jnp.ndarray, corpus_t: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(queries, corpus_t, preferred_element_type=jnp.float32)
 
 
+# --------------------------------------------------------------------------- #
+# int8 quantized scoring: 2x MXU throughput + half the HBM corpus traffic
+# --------------------------------------------------------------------------- #
+
+
+def quantize_rows_int8(x: np.ndarray | jnp.ndarray):
+    """Per-row symmetric int8 quantization: x ~= x_i8 * scale[:, None].
+    Row scale = max|row| / 127 (zero rows get scale 0 → all-zero codes)."""
+    xp = np if isinstance(x, np.ndarray) else jnp
+    absmax = xp.max(xp.abs(x), axis=1)
+    scale = absmax / 127.0
+    safe = xp.where(scale > 0, scale, 1.0)
+    q = xp.clip(xp.round(x / safe[:, None]), -127, 127).astype(xp.int8)
+    return q, scale.astype(xp.float32)
+
+
+def xla_score_int8(q_i8: jnp.ndarray, corpus_t_i8: jnp.ndarray,
+                   doc_scales: jnp.ndarray) -> jnp.ndarray:
+    """int8 MXU GEMM → i32, then per-doc dequant (per-QUERY scales are a
+    constant factor within each score row, hence rank-invariant: the caller
+    applies them to the final top-k values only)."""
+    s = jnp.dot(q_i8, corpus_t_i8, preferred_element_type=jnp.int32)
+    return s.astype(jnp.float32) * doc_scales[None, :]
+
+
 def _use_pallas() -> bool:
     return False  # XLA's matmul emitter beats the hand schedule (see xla_score)
 
@@ -138,6 +163,7 @@ def topk_blocked(
     method: str = "auto",          # 'auto' | 'exact' | 'approx'
     recall_target: float = 0.99,
     valid_upto: jnp.ndarray | None = None,  # traced count of real docs
+    doc_scales: jnp.ndarray | None = None,  # [N] f32, required when int8
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over all N docs without materialising [Q, N] scores in HBM:
     scan over doc blocks keeping a running (values, indices) top-k.  Replaces
@@ -145,13 +171,24 @@ def topk_blocked(
     (``modules/retrieve.py:157-177``) with a single fused XLA loop.
     ``valid_upto`` masks trailing padding docs *before* the per-block top-k so
     zero-score pad vectors can never displace genuine candidates; padding must
-    fit inside the final block."""
+    fit inside the final block.
+
+    int8 path: when ``corpus_t`` is int8, ``queries`` must be int8 codes and
+    ``doc_scales`` the per-doc dequant scales; returned values are in units of
+    (q_i8 · d) — multiply by the per-query scale for real dot products (rank-
+    invariant, so callers may skip it)."""
     Q, D = queries.shape
     N = corpus_t.shape[1]
     k_eff = min(k, N)
     block = max(min(block, N), k_eff)  # each block must hold at least k_eff
 
-    score_fn = pallas_score if _use_pallas() else xla_score
+    int8_path = corpus_t.dtype == jnp.int8
+    if int8_path:
+        if doc_scales is None:
+            raise ValueError("int8 corpus requires doc_scales")
+        score_fn = None  # per-block closure below slices the scales
+    else:
+        score_fn = pallas_score if _use_pallas() else xla_score
 
     # Full blocks scan WITHOUT padding masks (the iota+where over [Q, block]
     # costs real HBM traffic and blocks the matmul→top-k fusion); the ragged
@@ -186,7 +223,11 @@ def topk_blocked(
         def body(carry, b):
             start = b * block
             chunk = jax.lax.dynamic_slice(main, (0, start), (D, block))
-            scores = score_fn(queries, chunk)  # [Q, block] f32
+            if int8_path:
+                dsc = jax.lax.dynamic_slice(doc_scales, (start,), (block,))
+                scores = xla_score_int8(queries, chunk, dsc)
+            else:
+                scores = score_fn(queries, chunk)  # [Q, block] f32
             v, i = _block_topk(scores, k_eff, method, recall_target)
             return merge(carry, v, i + start), None
 
@@ -198,7 +239,13 @@ def topk_blocked(
         tail_chunk = _pad_dim(
             jax.lax.slice(corpus_t, (0, n_full * block), (D, N)), 1, block
         )
-        scores = score_fn(queries, tail_chunk)
+        if int8_path:
+            tail_dsc = _pad_dim(
+                jax.lax.slice(doc_scales, (n_full * block,), (N,)), 0, block
+            )
+            scores = xla_score_int8(queries, tail_chunk, tail_dsc)
+        else:
+            scores = score_fn(queries, tail_chunk)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         bound = tail if valid_upto is None else (valid_upto - n_full * block)
         scores = jnp.where(col < bound, scores, -jnp.inf)
@@ -219,7 +266,8 @@ def topk_blocked(
 
 @functools.lru_cache(maxsize=None)
 def _sharded_topk_fn(mesh: Mesh, k: int, block: int, method: str,
-                     recall_target: float, pad_total: int):
+                     recall_target: float, pad_total: int,
+                     int8_path: bool = False):
     """Build + jit the distributed top-k once per (mesh, k, block); jit caches
     per shape. Un-jitted shard_map re-traces and re-ships operands every call —
     catastrophic through a tunneled device.
@@ -233,13 +281,14 @@ def _sharded_topk_fn(mesh: Mesh, k: int, block: int, method: str,
     n_data = mesh.shape["data"]
     k2 = k + pad_total
 
-    def local(q, shard, valid_n):
+    def local(q, shard, valid_n, dsc):
         # shard: [D, shard_n]; global offset of this device's shard
         shard_n = shard.shape[1]
         di = jax.lax.axis_index("data")
         offset = di * shard_n
         v, i = topk_blocked(q, shard, k2, block=block, vary_axis="data",
-                            method=method, recall_target=recall_target)
+                            method=method, recall_target=recall_target,
+                            doc_scales=dsc)
         gi = i + offset
         v = jnp.where(gi < valid_n, v, -jnp.inf)
         # gather every device's local top-k2, then merge
@@ -250,10 +299,18 @@ def _sharded_topk_fn(mesh: Mesh, k: int, block: int, method: str,
         mv, mi = jax.lax.top_k(av, k)
         return mv, jnp.take_along_axis(ai, mi, axis=1)
 
+    in_specs = [P(), P(None, "data"), P(),
+                P("data") if int8_path else P()]
+    if not int8_path:
+        local_fn = lambda q, shard, valid_n: local(q, shard, valid_n, None)
+        in_specs = in_specs[:3]
+    else:
+        local_fn = local
+
     fn = shard_map(
-        local,
+        local_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, "data"), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,  # outputs are replicated post-all_gather; VMA can't infer it
     )
@@ -269,28 +326,56 @@ def sharded_topk(
     valid_n: int | None = None,
     method: str = "auto",
     recall_target: float = 0.99,
+    doc_scales: jnp.ndarray | None = None,  # [N] sharded like the corpus
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed top-k: each device scores its resident corpus shard and
     reduces to a local top-k; one all-gather of [Q, k] (val, idx) pairs over ICI
     then a final top-k gives the global result (SURVEY.md §2.3 'distributed
     top-k merge over ICI').  valid_n masks tail padding docs (global).
     method: 'exact' (lax.top_k), 'approx' (TPU approx_max_k), or 'auto'
-    (exact on CPU/small blocks, approx at recall_target on TPU)."""
+    (exact on CPU/small blocks, approx at recall_target on TPU).
+
+    int8 corpus (``doc_scales`` given): queries are quantized per-row here and
+    the returned values are dequantized real dot-product estimates."""
     N = corpus_t_sharded.shape[1]
     total_valid = N if valid_n is None else valid_n
     shard_n = N // mesh.shape["data"]
     pad_total = min(N - total_valid, shard_n - 1)
+    int8_path = corpus_t_sharded.dtype == jnp.int8
     fn = _sharded_topk_fn(mesh, k, min(block, shard_n),
-                          method, recall_target, pad_total)
+                          method, recall_target, pad_total, int8_path)
+    if int8_path:
+        q_i8, q_scale = quantize_rows_int8(jnp.asarray(queries, jnp.float32))
+        vals, idxs = fn(q_i8, corpus_t_sharded, jnp.int32(total_valid),
+                        doc_scales)
+        return vals * q_scale[:, None], idxs
     return fn(queries, corpus_t_sharded, jnp.int32(total_valid))
 
 
 def shard_corpus(mesh: Mesh, corpus: np.ndarray, dtype=jnp.bfloat16):
     """Host [N, D] → device-resident transposed [D, N'] bf16, N' padded to the
-    data-axis size and sharded over it. Returns (device_array, valid_n)."""
+    data-axis size and sharded over it. Returns (device_array, valid_n).
+
+    dtype=jnp.int8 selects the quantized layout: per-doc symmetric int8 codes
+    plus a sharded f32 scale vector — returns (codes, scales, valid_n).  int8
+    doubles MXU throughput and halves corpus HBM traffic on v5e (394 TOPs int8
+    vs 197 TFLOPs bf16)."""
     n_data = mesh.shape["data"]
     N, D = corpus.shape
     Np = _cdiv(N, n_data * 128) * n_data * 128
+    if dtype == jnp.int8:
+        codes, scales = quantize_rows_int8(corpus.astype(np.float32))
+        ct = np.zeros((D, Np), dtype=np.int8)
+        ct[:, :N] = codes.T
+        sc = np.zeros((Np,), dtype=np.float32)
+        sc[:N] = scales
+        arr = jax.device_put(
+            jnp.asarray(ct), NamedSharding(mesh, P(None, "data"))
+        )
+        sc_dev = jax.device_put(
+            jnp.asarray(sc), NamedSharding(mesh, P("data"))
+        )
+        return arr, sc_dev, N
     ct = np.zeros((D, Np), dtype=np.float32)
     ct[:, :N] = corpus.T
     arr = jnp.asarray(ct, dtype=dtype)

@@ -38,6 +38,7 @@ class Retrieve:
         model=None,
         pyserini_num_threads: int = 1,
         continue_batch: int | None = None,
+        scoring_dtype: str = "auto",
     ):
         self.model = model if model is not None else confy.instantiate(
             init_args, batch_size=batch_size
@@ -45,6 +46,12 @@ class Retrieve:
         self.batch_size = batch_size
         self.batch_size_sim = batch_size_sim
         self.continue_batch = continue_batch
+        # 'auto' = bf16 on TPU / f32 elsewhere; 'int8' = per-doc symmetric
+        # quantized corpus (2x MXU rate + half the HBM traffic on v5e);
+        # 'bf16' / 'f32' force. Dense path only — sparse/BM25 ignore it.
+        if scoring_dtype not in ("auto", "int8", "bf16", "f32"):
+            raise ValueError(f"unknown scoring_dtype {scoring_dtype!r}")
+        self.scoring_dtype = scoring_dtype
 
     # ------------------------------------------------------------------ #
     # indexing
@@ -186,6 +193,11 @@ class Retrieve:
         mesh = get_mesh()
         on_tpu = __import__("jax").default_backend() == "tpu"
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        if self.scoring_dtype == "bf16":
+            dtype = jnp.bfloat16
+        elif self.scoring_dtype == "f32":
+            dtype = jnp.float32
+        int8_scoring = self.scoring_dtype == "int8"
         sparse = self._sparse_docs("doc")
         if sparse:
             from bergen_tpu.ops import sparse as sparse_ops
@@ -195,6 +207,11 @@ class Retrieve:
                 mesh, d_vals, d_idx, dtype=dtype
             )
             vocab = q_emb.shape[1]
+        elif int8_scoring:
+            d_emb = self.load_index(doc_index_path, len(docs))
+            corpus_dev, dscales_dev, valid_n = scoring.shard_corpus(
+                mesh, d_emb, dtype=jnp.int8
+            )
         else:
             d_emb = self.load_index(doc_index_path, len(docs))
             corpus_dev, valid_n = scoring.shard_corpus(mesh, d_emb, dtype=dtype)
@@ -202,12 +219,19 @@ class Retrieve:
         k = min(top_k, valid_n)
         all_vals, all_idx = [], []
         for s in range(0, q_emb.shape[0], self.batch_size_sim):
-            q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
             if sparse:
+                q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
                 vals, idxs = sparse_ops.sharded_sparse_topk(
                     mesh, q, vals_dev, idx_dev, k, vocab, valid_n=valid_n
                 )
+            elif int8_scoring:
+                q = jnp.asarray(q_emb[s : s + self.batch_size_sim], jnp.float32)
+                vals, idxs = scoring.sharded_topk(
+                    mesh, q, corpus_dev, k, valid_n=valid_n,
+                    doc_scales=dscales_dev,
+                )
             else:
+                q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
                 vals, idxs = scoring.sharded_topk(
                     mesh, q, corpus_dev, k, valid_n=valid_n
                 )

@@ -53,8 +53,12 @@ class GenerationServer:
         max_slots: int = 8,
         max_len: int = 512,
         prompt_buckets: tuple = (32, 64, 128, 256),
-        dtype=jnp.float32,
+        dtype=None,  # None = bf16 KV cache on TPU, f32 elsewhere
+        mesh=None,   # TP: shard the slot KV cache over the mesh 'model' axis
     ):
+        if dtype is None:
+            dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else jnp.float32)
         if (cfg.post_norms or cfg.attn_logit_softcap or cfg.num_experts
                 or cfg.parallel_block):
             # the slot-pool decode step below hand-rolls the llama block; it
@@ -78,6 +82,16 @@ class GenerationServer:
         shape = (cfg.num_layers, max_slots, max_len, cfg.num_kv_heads, cfg.head_dim)
         self.k_cache = jnp.zeros(shape, dtype)
         self.v_cache = jnp.zeros(shape, dtype)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # KV heads ride the TP axis with the attention heads (params are
+            # already sharded by the caller); jit keeps the donated caches
+            # sharded across steps
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if cfg.num_kv_heads % mesh.shape["model"] == 0:
+                spec = NamedSharding(mesh, P(None, None, None, "model", None))
+                self.k_cache = jax.device_put(self.k_cache, spec)
+                self.v_cache = jax.device_put(self.v_cache, spec)
         self.cursors = np.zeros(max_slots, np.int32)    # tokens in cache per slot
         self.cur_tok = np.full(max_slots, pad_token_id, np.int32)
         self.free_slots = list(range(max_slots))

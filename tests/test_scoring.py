@@ -109,3 +109,69 @@ def test_sharded_topk_never_returns_padding(data):
         mesh, jnp.asarray(queries), corpus_dev, 200, block=256, valid_n=valid_n
     )
     assert np.asarray(idxs).max() < 1000
+
+
+# --------------------------------------------------------------------------- #
+# int8 quantized scoring
+# --------------------------------------------------------------------------- #
+
+
+def test_quantize_rows_int8_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 96)).astype(np.float32)
+    x[3] = 0.0  # zero row must not divide by zero
+    q, s = scoring.quantize_rows_int8(x)
+    assert q.dtype == np.int8 and s.shape == (64,)
+    rec = q.astype(np.float32) * s[:, None]
+    assert np.abs(rec - x).max() <= (np.abs(x).max(axis=1) / 127.0 + 1e-7).max()
+    assert np.all(q[3] == 0) and s[3] == 0.0
+
+
+def test_topk_blocked_int8_ranking_matches_f32(data):
+    """On well-separated scores the int8 path must produce the same top-k
+    ids and near-equal dequantized values."""
+    queries, corpus = data
+    c_i8, dsc = scoring.quantize_rows_int8(corpus)
+    q_i8, qsc = scoring.quantize_rows_int8(queries)
+    k = 10
+    ref_v, ref_i = scoring.topk_blocked(
+        jnp.asarray(queries), jnp.asarray(corpus.T), k, block=256,
+        method="exact",
+    )
+    v, i = scoring.topk_blocked(
+        jnp.asarray(q_i8), jnp.asarray(np.asarray(c_i8).T), k, block=256,
+        method="exact", doc_scales=jnp.asarray(dsc),
+    )
+    v = np.asarray(v) * np.asarray(qsc)[:, None]
+    # int8 rank flips only happen between near-tied docs; random gaussian
+    # scores at N=1000 are well separated at k=10
+    overlap = np.mean([
+        len(set(np.asarray(ref_i)[r]) & set(np.asarray(i)[r])) / k
+        for r in range(queries.shape[0])
+    ])
+    assert overlap >= 0.9
+    np.testing.assert_allclose(v, np.asarray(ref_v), rtol=0.05, atol=0.5)
+
+
+def test_sharded_topk_int8(data):
+    queries, corpus = data
+    mesh = get_mesh()
+    out = scoring.shard_corpus(mesh, corpus, dtype=jnp.int8)
+    c_dev, dsc_dev, valid_n = out
+    assert c_dev.dtype == jnp.int8
+    v, i = scoring.sharded_topk(
+        mesh, jnp.asarray(queries), c_dev, 10, block=256, valid_n=valid_n,
+        doc_scales=dsc_dev, method="exact",
+    )
+    ref_v, ref_i = scoring.topk_blocked(
+        jnp.asarray(queries), jnp.asarray(corpus.T), 10, block=256,
+        method="exact",
+    )
+    assert np.all(np.asarray(i) < valid_n)
+    overlap = np.mean([
+        len(set(np.asarray(ref_i)[r]) & set(np.asarray(i)[r])) / 10
+        for r in range(queries.shape[0])
+    ])
+    assert overlap >= 0.9
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=0.05, atol=0.5)

@@ -76,3 +76,45 @@ def test_slot_reuse_and_capacity(cfg_params):
     # pool drained back to free
     assert sorted(server.free_slots) == [0, 1]
     assert not server.active
+
+
+# --------------------------------------------------------------------------- #
+# pipeline integration: LLM(serve=True) routes through the server
+# --------------------------------------------------------------------------- #
+
+
+def test_llm_generator_serve_mode_matches_batched(tmp_path):
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tiny_models import build_tiny_llama
+    from bergen_tpu.models.generators.jax_llm import LLM
+
+    d = build_tiny_llama(str(tmp_path / "llama"))
+    kw = dict(model_name=d, max_new_tokens=6, max_length=64, batch_size=4)
+    base = LLM(**kw)
+    served = LLM(serve=True, max_slots=3, **kw)
+    assert served.server is not None
+    prompts = [
+        "user : what is the capital \n assistant : ",
+        "user : tell me about the river bank and the fish \n assistant : ",
+        "user : hello \n assistant : ",
+        "user : a much longer question about many words that goes on \n assistant : ",
+        "user : why \n assistant : ",
+    ]
+    ref = base.generate(prompts)
+    out = served.generate(prompts)
+    # continuous batching is still greedy decoding: outputs must match
+    assert out == ref
+
+
+def test_llm_generator_serve_rejects_gemma2():
+    """The server fails loudly on architectures its decode step can't run."""
+    from bergen_tpu.serve.engine import GenerationServer
+
+    cfg = llama.LlamaConfig(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=2, intermediate_size=64, post_norms=True,
+    )
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError):
+        GenerationServer(params, cfg, eos_token_id=2, pad_token_id=0)
