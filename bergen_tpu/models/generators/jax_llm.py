@@ -41,6 +41,15 @@ class LLM(Generator):
         # batching GenerationServer (the vLLM-engine stand-in) instead of
         # static length-bucketed batches
         max_slots: int = 16,
+        # sampling / search (reference vllm.py:61-78 SamplingParams):
+        # temperature 0 = greedy; use_beam_search + best_of>1 = beam search
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        use_beam_search: bool = False,
+        best_of: int = 1,
+        num_beams: int | None = None,  # alias for best_of w/ beam search
+        length_penalty: float = 1.0,
+        seed: int = 0,
         **_ignored,
     ):
         super().__init__(
@@ -73,6 +82,19 @@ class LLM(Generator):
             # int8 weight-only (int4 requests round up to int8 on TPU;
             # quality-neutral per BASELINE.md)
             params = convert.quantize_tree_int8(params)
+
+        if num_beams is not None:
+            use_beam_search, best_of = num_beams > 1, num_beams
+        if use_beam_search and temperature != 0:
+            raise ValueError(
+                f"beam search requires temperature = 0, not {temperature}"
+            )
+        self.temperature = temperature
+        self.top_p = top_p
+        self.use_beam_search = use_beam_search
+        self.best_of = best_of
+        self.length_penalty = length_penalty
+        self.seed = seed
 
         self.mesh = get_mesh(model=tp)
         params = convert.to_device_tree(params, dtype=self.dtype)
@@ -107,6 +129,36 @@ class LLM(Generator):
             _gen_fn,
             static_argnames=("max_new_tokens", "eos_token_id", "pad_token_id",
                              "cache_dtype"),
+        )
+
+        def _beam_fn(params, input_ids, attention_mask, max_new_tokens,
+                     num_beams, eos_token_id, pad_token_id, length_penalty,
+                     cache_dtype):
+            return llama.beam_generate(
+                params, cfg, input_ids, attention_mask, max_new_tokens,
+                num_beams, eos_token_id, pad_token_id, length_penalty,
+                cache_dtype,
+            )
+
+        self._beam = jax.jit(
+            _beam_fn,
+            static_argnames=("max_new_tokens", "num_beams", "eos_token_id",
+                             "pad_token_id", "length_penalty", "cache_dtype"),
+        )
+
+        def _sample_fn(params, input_ids, attention_mask, rng_key,
+                       max_new_tokens, eos_token_id, pad_token_id,
+                       temperature, top_p, cache_dtype):
+            return llama.sample_generate(
+                params, cfg, input_ids, attention_mask, max_new_tokens,
+                eos_token_id, pad_token_id, temperature, top_p, rng_key,
+                cache_dtype,
+            )
+
+        self._sample = jax.jit(
+            _sample_fn,
+            static_argnames=("max_new_tokens", "eos_token_id", "pad_token_id",
+                             "temperature", "top_p", "cache_dtype"),
         )
 
         def _prefill_logits_fn(params, input_ids, attention_mask):
@@ -167,6 +219,33 @@ class LLM(Generator):
         return np.asarray(out)
 
     def generate(self, prompts: List[str]) -> List[str]:
+        if self.use_beam_search and self.best_of > 1:
+            ii, am = self._tokenize_left_pad(prompts)
+            toks = self._beam(
+                self.params, jnp.asarray(ii), jnp.asarray(am),
+                max_new_tokens=self.max_new_tokens, num_beams=self.best_of,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+                length_penalty=self.length_penalty, cache_dtype=self.dtype,
+            )
+            return self.tokenizer.batch_decode(
+                np.asarray(toks), skip_special_tokens=True
+            )
+        if self.temperature > 0:
+            ii, am = self._tokenize_left_pad(prompts)
+            self.seed += 1  # fresh stream per call, reproducible per run
+            toks = self._sample(
+                self.params, jnp.asarray(ii), jnp.asarray(am),
+                jax.random.PRNGKey(self.seed),
+                max_new_tokens=self.max_new_tokens,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+                temperature=self.temperature, top_p=self.top_p,
+                cache_dtype=self.dtype,
+            )
+            return self.tokenizer.batch_decode(
+                np.asarray(toks), skip_special_tokens=True
+            )
         if self.server is not None:
             enc = self.tokenizer(
                 prompts, truncation=True, max_length=self.max_length,

@@ -570,6 +570,189 @@ def greedy_generate(
     return jnp.swapaxes(toks, 0, 1)  # [B, max_new_tokens]
 
 
+def sample_generate(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jnp.ndarray,       # [B, S] LEFT-padded prompts
+    attention_mask: jnp.ndarray,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    rng_key: jnp.ndarray | None = None,
+    cache_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Temperature / nucleus sampling (reference vllm.py:61-78 SamplingParams
+    temperature/top_p; temperature→0 degenerates to greedy_generate)."""
+    B, S = input_ids.shape
+    L = S + max_new_tokens
+    cache = init_cache(cfg, B, L, dtype=cache_dtype)
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    prefill_mask = jnp.zeros((B, S, L), bool)
+    prefill_mask = prefill_mask.at[:, :, :S].set(
+        causal[None] & attention_mask[:, None, :].astype(bool)
+    )
+    logits, cache = forward(params, cfg, input_ids, positions, cache,
+                            prefill_mask)
+
+    def pick(key, logits):
+        lg = logits.astype(jnp.float32) / max(temperature, 1e-6)
+        if top_p < 1.0:
+            # nucleus: mask tokens outside the smallest set with cum prob >= p
+            sorted_lg = jnp.sort(lg, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_lg, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep tokens whose logit >= cutoff of the nucleus boundary
+            keep_n = jnp.sum(cum < top_p, axis=-1) + 1  # [B]
+            cutoff = jnp.take_along_axis(
+                sorted_lg, (keep_n - 1)[:, None], axis=-1
+            )
+            lg = jnp.where(lg >= cutoff, lg, -jnp.inf)
+        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+    key, k0 = jax.random.split(key)
+    next_tok = pick(k0, logits[:, -1])
+    key_valid = jnp.concatenate(
+        [attention_mask.astype(bool), jnp.zeros((B, max_new_tokens), bool)],
+        axis=1,
+    )
+
+    def step(carry, t):
+        cache, tok, done, key_valid, pos, key = carry
+        tok_in = jnp.where(done, pad_token_id, tok)
+        key_valid = key_valid.at[:, S + t].set(True)
+        mask = key_valid[:, None, :]
+        logits, cache = forward(
+            params, cfg, tok_in[:, None], pos[:, None], cache, mask
+        )
+        key, kt = jax.random.split(key)
+        nxt = pick(kt, logits[:, -1])
+        out_tok = jnp.where(done, pad_token_id, tok)
+        done = done | (tok == eos_token_id)
+        return (cache, nxt, done, key_valid, pos + 1, key), out_tok
+
+    (_, _, _, _, _, _), toks = jax.lax.scan(
+        step,
+        (cache, next_tok, jnp.zeros((B,), bool), key_valid,
+         positions[:, -1] + 1, key),
+        jnp.arange(max_new_tokens),
+    )
+    return jnp.swapaxes(toks, 0, 1)
+
+
+def beam_generate(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jnp.ndarray,       # [B, S] LEFT-padded prompts
+    attention_mask: jnp.ndarray,
+    max_new_tokens: int,
+    num_beams: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    length_penalty: float = 1.0,
+    cache_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Batched beam search (reference vllm.py:61-78: use_beam_search=True,
+    best_of=num_beams, temperature=0).  Static shapes throughout: prefill once
+    at [B, S], tile the KV cache to B*W beams, then scan single-token steps —
+    each step scores W*V continuations per batch, keeps the top W, and
+    reorders the cache by the surviving beams' parent indices.  Finished
+    beams are frozen (pad-continuation at unchanged score).  Returns the
+    [B, max_new_tokens] tokens of the best beam by score / len**length_penalty."""
+    B, S = input_ids.shape
+    W = num_beams
+    V = cfg.vocab_size
+    L = S + max_new_tokens
+    cache = init_cache(cfg, B, L, dtype=cache_dtype)
+
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    prefill_mask = jnp.zeros((B, S, L), bool)
+    prefill_mask = prefill_mask.at[:, :, :S].set(
+        causal[None] & attention_mask[:, None, :].astype(bool)
+    )
+    logits, cache = forward(params, cfg, input_ids, positions, cache,
+                            prefill_mask)
+
+    # tile cache/masks to B*W (beams of one batch are contiguous)
+    def tile(x):
+        return jnp.repeat(x, W, axis=0)
+
+    cache = {
+        "k": jnp.repeat(cache["k"], W, axis=1),
+        "v": jnp.repeat(cache["v"], W, axis=1),
+        "cursor": cache["cursor"],
+    }
+    key_valid = tile(jnp.concatenate(
+        [attention_mask.astype(bool), jnp.zeros((B, max_new_tokens), bool)],
+        axis=1,
+    ))  # [B*W, L]
+    pos = tile(positions[:, -1:] + 1)[:, 0]  # [B*W]
+
+    # first expansion: top-W tokens straight from the prefill distribution
+    logp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    cum, tok = jax.lax.top_k(logp0, W)           # [B, W] scores / tokens
+    seqs = jnp.full((B, W, max_new_tokens), pad_token_id, jnp.int32)
+    seqs = seqs.at[:, :, 0].set(tok)
+    finished = tok == eos_token_id               # [B, W]
+    gen_len = jnp.ones((B, W), jnp.int32)
+
+    batch_base = (jnp.arange(B) * W)[:, None]    # [B, 1]
+
+    def step(carry, t):
+        cache, seqs, cum, tok, finished, gen_len, key_valid, pos = carry
+        tok_in = jnp.where(finished, pad_token_id, tok).reshape(B * W)
+        key_valid = key_valid.at[:, S + t].set(True)
+        logits, cache = forward(
+            params, cfg, tok_in[:, None], pos[:, None], cache,
+            key_valid[:, None, :],
+        )
+        logp = jax.nn.log_softmax(
+            logits[:, -1].astype(jnp.float32), axis=-1
+        ).reshape(B, W, V)
+        # frozen beams may only continue with pad at unchanged score
+        pad_only = jnp.full((V,), -jnp.inf).at[pad_token_id].set(0.0)
+        logp = jnp.where(finished[:, :, None], pad_only[None, None, :], logp)
+        cand = (cum[:, :, None] + logp).reshape(B, W * V)
+        new_cum, flat = jax.lax.top_k(cand, W)   # [B, W]
+        parent = flat // V                       # [B, W] surviving beam idx
+        new_tok = (flat % V).astype(jnp.int32)
+
+        # reorder per-beam state by parent
+        gidx = (batch_base + parent).reshape(-1)  # [B*W] global beam rows
+        cache = {
+            "k": cache["k"][:, gidx],
+            "v": cache["v"][:, gidx],
+            "cursor": cache["cursor"],
+        }
+        key_valid = key_valid[gidx]
+        seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
+        finished = jnp.take_along_axis(finished, parent, axis=1)
+        gen_len = jnp.take_along_axis(gen_len, parent, axis=1)
+
+        write_tok = jnp.where(finished, pad_token_id, new_tok)
+        seqs = jax.lax.dynamic_update_slice_in_dim(
+            seqs, write_tok[:, :, None], t + 1, axis=2
+        )
+        gen_len = gen_len + (~finished).astype(jnp.int32)
+        finished = finished | (new_tok == eos_token_id)
+        return (cache, seqs, new_cum, new_tok, finished, gen_len,
+                key_valid, pos + 1), None
+
+    carry = (cache, seqs, cum, tok, finished, gen_len, key_valid, pos)
+    if max_new_tokens > 1:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(max_new_tokens - 1))
+    _, seqs, cum, _, finished, gen_len, _, _ = carry
+
+    norm = cum / (gen_len.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm, axis=1)  # [B]
+    return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+
+
 # --------------------------------------------------------------------------- #
 # tensor-parallel shardings
 # --------------------------------------------------------------------------- #
