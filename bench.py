@@ -92,7 +92,9 @@ def bench_encode(on_tpu):
             hidden = bert.encode(params, cfg, cur, am)
             emb = bert.mean_pool(hidden, am)
             top = emb[0, 0].astype(jnp.float32)
-            return acc + top, ii + (top * 0).astype(jnp.int32)
+            # data dependency on `top` that XLA cannot constant-fold away
+            # (a `* 0` form gets folded and the loop body hoisted)
+            return acc + top, ii + (top * 1e-30).astype(jnp.int32)
 
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), ii))
         return acc
@@ -126,7 +128,12 @@ def bench_scoring(on_tpu):
                     doc_scales=dscales,
                 )
                 top = v[0, 0]
-                return acc + top, qq + (top * 0).astype(qq.dtype)
+                # unfoldable dependency; numerically qq (see encode note)
+                if qq.dtype == jnp.int8:
+                    nxt = qq + (top * 1e-30).astype(jnp.int8)
+                else:
+                    nxt = qq + (top * jnp.asarray(1e-36, qq.dtype))
+                return acc + top, nxt
 
             acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), qq))
             return acc

@@ -47,6 +47,62 @@ def _strip_prefix(sd: Mapping, candidates=("bert.", "model.", "roberta.", "deber
     return out
 
 
+def load_hf_encoder(model_name: str):
+    """(hf_cfg, state_dict) for an encoder checkpoint.
+
+    Architectures transformers knows load via AutoModel; trust_remote_code
+    architectures (GTE-v1.5 `new`, `nomic_bert`, jina's alibi-BERT — reference
+    config/retriever/gte-base-en-v1.5.yaml etc.) are loaded by reading
+    config.json + weights DIRECTLY, never executing the checkpoint's remote
+    modeling code — the JAX forward in models/bert.py implements those
+    architectures natively."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from transformers import AutoConfig, AutoModel
+
+    try:
+        hf_cfg = AutoConfig.from_pretrained(model_name)
+        model = AutoModel.from_pretrained(model_name)
+        sd = model.state_dict()
+        del model
+        return hf_cfg, sd
+    except (ValueError, KeyError):
+        pass  # unknown model_type → raw read below
+
+    def _file(name):
+        if os.path.isdir(model_name):
+            path = os.path.join(model_name, name)
+            return path if os.path.exists(path) else None
+        try:
+            from transformers.utils import cached_file
+
+            return cached_file(
+                model_name, name, _raise_exceptions_for_missing_entries=False
+            )
+        except Exception:
+            return None
+
+    cfg_path = _file("config.json")
+    if cfg_path is None:
+        raise OSError(f"cannot load config.json for {model_name}")
+    with open(cfg_path) as f:
+        hf_cfg = SimpleNamespace(**json.load(f))
+
+    st_path = _file("model.safetensors")
+    if st_path is not None:
+        from safetensors.torch import load_file
+
+        return hf_cfg, load_file(st_path)
+    bin_path = _file("pytorch_model.bin")
+    if bin_path is None:
+        raise OSError(f"no model.safetensors / pytorch_model.bin for {model_name}")
+    import torch
+
+    return hf_cfg, torch.load(bin_path, map_location="cpu", weights_only=True)
+
+
 # --------------------------------------------------------------------------- #
 # BERT family
 # --------------------------------------------------------------------------- #
@@ -59,13 +115,104 @@ def bert_from_hf(state_dict: Mapping, num_layers: int) -> Dict[str, Any]:
     p: Dict[str, Any] = {
         "embeddings": {
             "word": _t(sd["embeddings.word_embeddings.weight"]),
-            "position": _t(sd["embeddings.position_embeddings.weight"]),
-            "ln": _ln(sd, "embeddings.LayerNorm"),
         },
         "layers": [],
     }
+    # rope/alibi variants (GTE/nomic/jina) have no position table; nomic
+    # names its embedding LayerNorm 'emb_ln' (fixed up in its branch below)
+    if "embeddings.position_embeddings.weight" in sd:
+        p["embeddings"]["position"] = _t(sd["embeddings.position_embeddings.weight"])
+    if "embeddings.LayerNorm.weight" in sd:
+        p["embeddings"]["ln"] = _ln(sd, "embeddings.LayerNorm")
     if "embeddings.token_type_embeddings.weight" in sd:
         p["embeddings"]["token_type"] = _t(sd["embeddings.token_type_embeddings.weight"])
+    # GTE v1.5 layout (Alibaba-NLP NewModel via trust_remote_code in the
+    # reference): fused qkv_proj, o_proj, gated up_gate_proj MLP
+    # (down(up * act(gate)), fused weight ordered [up; gate]), attn_ln/mlp_ln
+    if "encoder.layer.0.attention.qkv_proj.weight" in sd:
+        for i in range(num_layers):
+            pre = f"encoder.layer.{i}"
+            qkv_w = _t(sd[f"{pre}.attention.qkv_proj.weight"]).T  # [D, 3D]
+            D = qkv_w.shape[0]
+            attn = {
+                "q": {"kernel": qkv_w[:, :D]},
+                "k": {"kernel": qkv_w[:, D : 2 * D]},
+                "v": {"kernel": qkv_w[:, 2 * D :]},
+                "o": _lin(sd, f"{pre}.attention.o_proj"),
+            }
+            if f"{pre}.attention.qkv_proj.bias" in sd:
+                qkv_b = _t(sd[f"{pre}.attention.qkv_proj.bias"])
+                attn["q"]["bias"] = qkv_b[:D]
+                attn["k"]["bias"] = qkv_b[D : 2 * D]
+                attn["v"]["bias"] = qkv_b[2 * D :]
+            ug = _t(sd[f"{pre}.mlp.up_gate_proj.weight"]).T  # [D, 2I]
+            I = ug.shape[1] // 2
+            p["layers"].append(
+                {
+                    "attn": attn,
+                    "attn_ln": _ln(sd, f"{pre}.attn_ln"),
+                    "mlp_up": {"kernel": ug[:, :I]},
+                    "mlp_gate": {"kernel": ug[:, I:]},
+                    "mlp_out": _lin(sd, f"{pre}.mlp.down_proj"),
+                    "mlp_ln": _ln(sd, f"{pre}.mlp_ln"),
+                }
+            )
+        return p
+    # nomic-embed layout (NomicBertModel via trust_remote_code): emb_ln,
+    # encoder.layers.N.{attn.Wqkv/out_proj, norm1, norm2, mlp.fc11/fc12/fc2};
+    # gated MLP = fc2(fc11(x)... up) * act(fc12 gate)
+    if "encoder.layers.0.attn.Wqkv.weight" in sd:
+        p["embeddings"]["ln"] = _ln(sd, "emb_ln")
+        for i in range(num_layers):
+            pre = f"encoder.layers.{i}"
+            qkv_w = _t(sd[f"{pre}.attn.Wqkv.weight"]).T  # [D, 3D]
+            D = qkv_w.shape[0]
+            attn = {
+                "q": {"kernel": qkv_w[:, :D]},
+                "k": {"kernel": qkv_w[:, D : 2 * D]},
+                "v": {"kernel": qkv_w[:, 2 * D :]},
+                "o": _lin(sd, f"{pre}.attn.out_proj"),
+            }
+            if f"{pre}.attn.Wqkv.bias" in sd:
+                qkv_b = _t(sd[f"{pre}.attn.Wqkv.bias"])
+                attn["q"]["bias"] = qkv_b[:D]
+                attn["k"]["bias"] = qkv_b[D : 2 * D]
+                attn["v"]["bias"] = qkv_b[2 * D :]
+            p["layers"].append(
+                {
+                    "attn": attn,
+                    "attn_ln": _ln(sd, f"{pre}.norm1"),
+                    "mlp_up": _lin(sd, f"{pre}.mlp.fc11"),
+                    "mlp_gate": _lin(sd, f"{pre}.mlp.fc12"),
+                    "mlp_out": _lin(sd, f"{pre}.mlp.fc2"),
+                    "mlp_ln": _ln(sd, f"{pre}.norm2"),
+                }
+            )
+        return p
+    # jina-v2 layout (JinaBertModel via trust_remote_code): standard q/k/v +
+    # geglu MLP {gated_layers [gate; up], wo, layernorm}; ALiBi has no weights
+    if "encoder.layer.0.mlp.gated_layers.weight" in sd:
+        for i in range(num_layers):
+            pre = f"encoder.layer.{i}"
+            gu = _t(sd[f"{pre}.mlp.gated_layers.weight"]).T  # [D, 2I]
+            I = gu.shape[1] // 2
+            p["layers"].append(
+                {
+                    "attn": {
+                        "q": _lin(sd, f"{pre}.attention.self.query"),
+                        "k": _lin(sd, f"{pre}.attention.self.key"),
+                        "v": _lin(sd, f"{pre}.attention.self.value"),
+                        "o": _lin(sd, f"{pre}.attention.output.dense"),
+                    },
+                    "attn_ln": _ln(sd, f"{pre}.attention.output.LayerNorm"),
+                    # jina activates the FIRST half of gated_layers
+                    "mlp_gate": {"kernel": gu[:, :I]},
+                    "mlp_up": {"kernel": gu[:, I:]},
+                    "mlp_out": _lin(sd, f"{pre}.mlp.wo"),
+                    "mlp_ln": _ln(sd, f"{pre}.mlp.layernorm"),
+                }
+            )
+        return p
     # DistilBERT layout (tasb): transformer.layer.N.{attention.{q,k,v,out}_lin,
     # sa_layer_norm, ffn.{lin1,lin2}, output_layer_norm} — same post-LN block
     if "transformer.layer.0.attention.q_lin.weight" in sd:

@@ -104,6 +104,19 @@ def _encoder_flash(S: int, mask_ndim: int) -> bool:
     return False
 
 
+def rope_rotate(x: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
+    """Split-half (GPT-NeoX / llama style) rotary embedding over absolute
+    positions 0..S-1.  x: [B, S, H, Dh]."""
+    S = x.shape[1]
+    angles = jnp.arange(S, dtype=jnp.float32)[:, None] * inv_freq  # [S, Dh/2]
+    cos = jnp.cos(angles)[None, :, None, :]
+    sin = jnp.sin(angles)[None, :, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = jnp.split(xf, 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
 def mha(
     p: Params,
     x: jnp.ndarray,
@@ -111,6 +124,8 @@ def mha(
     num_heads: int,
     *,
     kv: jnp.ndarray | None = None,
+    rope_inv_freq: jnp.ndarray | None = None,  # rope-BERT (GTE/nomic)
+    attn_bias: jnp.ndarray | None = None,      # additive [H, Sq, Sk] (ALiBi)
 ) -> jnp.ndarray:
     """Bidirectional multi-head attention (encoder style).
 
@@ -124,8 +139,12 @@ def mha(
     q = dense(p["q"], x).reshape(B, S, num_heads, head_dim)
     k = dense(p["k"], kv).reshape(B, kv.shape[1], num_heads, head_dim)
     v = dense(p["v"], kv).reshape(B, kv.shape[1], num_heads, head_dim)
+    if rope_inv_freq is not None:
+        q = rope_rotate(q, rope_inv_freq)
+        k = rope_rotate(k, rope_inv_freq)
 
-    if _encoder_flash(S, mask.ndim) and kv.shape[1] == S:
+    if (_encoder_flash(S, mask.ndim) and kv.shape[1] == S
+            and attn_bias is None):
         from bergen_tpu.ops.flash_attention import flash_attention
 
         ctx = flash_attention(
@@ -136,6 +155,8 @@ def mha(
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(head_dim)
+    if attn_bias is not None:
+        scores = scores + attn_bias[None]
     if mask.ndim == 2:
         bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(jnp.float32)
     else:

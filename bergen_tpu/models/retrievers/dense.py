@@ -62,7 +62,7 @@ class DenseRetriever(Retriever):
         query_encoder_name: str | None = None,
         batch_size: int = 128,
     ):
-        from transformers import AutoConfig, AutoModel, AutoTokenizer
+        from transformers import AutoTokenizer
 
         self.model_name = model_name
         self.max_len = max_len
@@ -73,26 +73,28 @@ class DenseRetriever(Retriever):
         self.batch_size = batch_size
 
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
-        hf_cfg = AutoConfig.from_pretrained(model_name)
+        # load_hf_encoder also covers the trust_remote_code architectures
+        # (GTE-v1.5 / nomic / jina-v2) by reading weights directly — the
+        # rope/alibi-BERT forwards are native in models/bert.py
+        hf_cfg, state_dict = convert.load_hf_encoder(model_name)
         self.cfg = bert.BertConfig.from_hf(hf_cfg)
         self._dim = self.cfg.hidden_size
 
         on_tpu = jax.default_backend() == "tpu"
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        hf_model = AutoModel.from_pretrained(model_name)
         self.params = convert.to_device_tree(
-            convert.bert_from_hf(hf_model.state_dict(), self.cfg.num_layers),
+            convert.bert_from_hf(state_dict, self.cfg.num_layers),
             dtype=dtype,
         )
-        del hf_model
+        del state_dict
         # asymmetric query encoder (reference dense.py:17-20)
         if query_encoder_name is not None:
-            q_model = AutoModel.from_pretrained(query_encoder_name)
+            _, q_sd = convert.load_hf_encoder(query_encoder_name)
             self.query_params = convert.to_device_tree(
-                convert.bert_from_hf(q_model.state_dict(), self.cfg.num_layers),
+                convert.bert_from_hf(q_sd, self.cfg.num_layers),
                 dtype=dtype,
             )
-            del q_model
+            del q_sd
         else:
             self.query_params = self.params
 
