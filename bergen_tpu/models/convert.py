@@ -428,6 +428,44 @@ def quantize_tree_int8(params, min_size: int = 1 << 16):
     return params
 
 
+def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128):
+    """Weight-only int4 GROUP-WISE quantization (the TPU stand-in for
+    bitsandbytes 4-bit, reference llm.py:94-121): each large kernel leaf
+    becomes jnp.int4 values (XLA packs two nibbles per byte in HBM on TPU)
+    plus f32 scales per (group of `group` input rows, output column).
+    Group-wise scaling keeps quality close to nf4 at equal memory."""
+    def visit(node):
+        if isinstance(node, dict):
+            if "kernel" in node and not isinstance(node["kernel"], dict):
+                k = node["kernel"]
+                if k.ndim == 2 and k.size >= min_size and k.shape[0] % group == 0:
+                    kf = jnp.asarray(k, jnp.float32)
+                    d_in, d_out = kf.shape
+                    g = kf.reshape(d_in // group, group, d_out)
+                    scale = jnp.max(jnp.abs(g), axis=1) / 7.0  # [n_groups, d_out]
+                    scale = jnp.maximum(scale, 1e-8)
+                    q = jnp.clip(jnp.round(g / scale[:, None, :]), -8, 7)
+                    node["kernel_q4"] = q.reshape(d_in, d_out).astype(jnp.int4)
+                    node["kernel_scale4"] = scale
+                    del node["kernel"]
+            for v in node.values():
+                visit(v)
+        elif isinstance(node, list):
+            for v in node:
+                visit(v)
+
+    visit(params)
+    return params
+
+
+def dequantize_int4(kernel_q4, kernel_scale4, dtype):
+    """[d_in, d_out] int4 + [n_groups, d_out] scales → dense kernel."""
+    d_in, d_out = kernel_q4.shape
+    n_groups = kernel_scale4.shape[0]
+    g = kernel_q4.astype(dtype).reshape(n_groups, d_in // n_groups, d_out)
+    return (g * kernel_scale4[:, None, :].astype(dtype)).reshape(d_in, d_out)
+
+
 def hf_model_to_tree(hf_model, family: str) -> Dict[str, Any]:
     """Convenience: convert a live HF torch model (family: 'bert' | 'llama')."""
     sd = hf_model.state_dict()

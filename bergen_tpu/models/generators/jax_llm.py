@@ -78,10 +78,12 @@ class LLM(Generator):
         hf_model = AutoModelForCausalLM.from_pretrained(model_name, **_load_kw)
         params = convert.llama_from_hf(hf_model.state_dict(), self.cfg.num_layers)
         del hf_model
-        if quantization in ("int8", "int4"):
-            # int8 weight-only (int4 requests round up to int8 on TPU;
-            # quality-neutral per BASELINE.md)
+        if quantization == "int8":
             params = convert.quantize_tree_int8(params)
+        elif quantization == "int4":
+            # true 4-bit weight-only, group-wise scales (jnp.int4 storage —
+            # XLA packs two nibbles per byte in TPU HBM)
+            params = convert.quantize_tree_int4(params)
 
         if num_beams is not None:
             use_beam_search, best_of = num_beams > 1, num_beams

@@ -259,6 +259,12 @@ def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
+    if "kernel_q4" in p:  # int4 weight-only (convert.quantize_tree_int4)
+        from bergen_tpu.models import convert as _cv
+
+        w = _cv.dequantize_int4(p["kernel_q4"], p["kernel_scale4"], x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "lora_a" in p:  # LoRA adapter path (train/lora.py): y += x@A@B * scale
         y = y + jnp.dot(

@@ -39,6 +39,8 @@ class Retrieve:
         pyserini_num_threads: int = 1,
         continue_batch: int | None = None,
         scoring_dtype: str = "auto",
+        topk_method: str = "auto",          # auto | exact | approx
+        approx_recall_guard: float = 0.97,  # min measured top-k overlap
     ):
         self.model = model if model is not None else confy.instantiate(
             init_args, batch_size=batch_size
@@ -52,6 +54,8 @@ class Retrieve:
         if scoring_dtype not in ("auto", "int8", "bf16", "f32"):
             raise ValueError(f"unknown scoring_dtype {scoring_dtype!r}")
         self.scoring_dtype = scoring_dtype
+        self.topk_method = topk_method
+        self.approx_recall_guard = approx_recall_guard
 
     # ------------------------------------------------------------------ #
     # indexing
@@ -217,24 +221,53 @@ class Retrieve:
             corpus_dev, valid_n = scoring.shard_corpus(mesh, d_emb, dtype=dtype)
 
         k = min(top_k, valid_n)
+        method = self.topk_method
         all_vals, all_idx = [], []
-        for s in range(0, q_emb.shape[0], self.batch_size_sim):
+        for bi, s in enumerate(range(0, q_emb.shape[0], self.batch_size_sim)):
             if sparse:
                 q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
                 vals, idxs = sparse_ops.sharded_sparse_topk(
                     mesh, q, vals_dev, idx_dev, k, vocab, valid_n=valid_n
                 )
-            elif int8_scoring:
-                q = jnp.asarray(q_emb[s : s + self.batch_size_sim], jnp.float32)
-                vals, idxs = scoring.sharded_topk(
-                    mesh, q, corpus_dev, k, valid_n=valid_n,
-                    doc_scales=dscales_dev,
-                )
             else:
-                q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
+                if int8_scoring:
+                    q = jnp.asarray(
+                        q_emb[s : s + self.batch_size_sim], jnp.float32
+                    )
+                    dsc = dscales_dev
+                else:
+                    q = jnp.asarray(
+                        q_emb[s : s + self.batch_size_sim], dtype=dtype
+                    )
+                    dsc = None
                 vals, idxs = scoring.sharded_topk(
-                    mesh, q, corpus_dev, k, valid_n=valid_n
+                    mesh, q, corpus_dev, k, valid_n=valid_n, doc_scales=dsc,
+                    method=method,
                 )
+                if bi == 0 and method != "exact" and on_tpu:
+                    # approx-recall guard (measured on REAL embeddings, not
+                    # Gaussians): dual-run the first batch exactly; if the
+                    # approx top-k overlap is below the guard, fall back to
+                    # exact for the whole run
+                    ev, ei = scoring.sharded_topk(
+                        mesh, q, corpus_dev, k, valid_n=valid_n,
+                        doc_scales=dsc, method="exact",
+                    )
+                    ai, ei_np = np.asarray(idxs), np.asarray(ei)
+                    overlap = np.mean([
+                        len(set(ai[r]) & set(ei_np[r])) / max(1, k)
+                        for r in range(ai.shape[0])
+                    ])
+                    if overlap < self.approx_recall_guard:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "approx top-k overlap %.4f < guard %.2f — "
+                            "switching to exact top-k for this run",
+                            overlap, self.approx_recall_guard,
+                        )
+                        method = "exact"
+                        vals, idxs = ev, ei
             all_vals.append(np.asarray(vals))
             all_idx.append(np.asarray(idxs))
         vals = np.concatenate(all_vals, axis=0)

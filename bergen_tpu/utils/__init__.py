@@ -286,6 +286,11 @@ def init_experiment(
     for d in (experiments_folder, index_folder, runs_folder, experiment_folder):
         os.makedirs(d, exist_ok=True)
     confy.save_yaml(config, os.path.join(experiment_folder, "config.yaml"))
+    # training observability: HF-Trainer-compatible wandb project env
+    # (reference utils.py:327-328)
+    os.environ["WANDB_PROJECT"] = (
+        f"NAVER-RAG-{str(experiments_folder).replace('/', '')}"
+    )
     return run_name, experiment_folder
 
 

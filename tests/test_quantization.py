@@ -56,3 +56,60 @@ def test_generator_quantization_flag(tmp_path):
     assert "kernel_q" in leaf and leaf["kernel_q"].dtype == jnp.int8
     out = gen.generate(["what is the capital of avaria"])
     assert len(out) == 1 and isinstance(out[0], str)
+
+def test_int4_quantized_forward_close_to_fp():
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=512, max_position_embeddings=128,
+    )
+    import copy
+
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qparams = convert.quantize_tree_int4(copy.deepcopy(params), min_size=1,
+                                         group=64)
+    leaf = qparams["layers"][0]["attn"]["q"]
+    assert "kernel_q4" in leaf and leaf["kernel_q4"].dtype == jnp.int4
+    # group-wise scales: [n_groups, d_out]
+    assert leaf["kernel_scale4"].shape == (256 // 64, 256)
+
+    ids = jnp.asarray(np.arange(10)[None] + 3, jnp.int32)
+    pos = jnp.asarray(np.arange(10)[None], jnp.int32)
+    mask = jnp.tril(jnp.ones((10, 10), bool))[None]
+    ref, _ = llama.forward(params, cfg, ids, pos,
+                           llama.init_cache(cfg, 1, 10, jnp.float32), mask)
+    out, _ = llama.forward(qparams, cfg, ids, pos,
+                           llama.init_cache(cfg, 1, 10, jnp.float32), mask)
+    ref, out = np.asarray(ref), np.asarray(out)
+    denom = np.abs(ref).max()
+    # random-init weights are the worst case for 4-bit; bound the drift
+    # relative to the logit scale and keep predictions mostly aligned
+    assert np.abs(out - ref).max() / denom < 0.5
+    agree = (ref.argmax(-1) == out.argmax(-1)).mean()
+    assert agree >= 0.5
+
+
+def test_int4_dequant_roundtrip():
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(256, 64)).astype(np.float32)
+    node = {"kernel": jnp.asarray(k)}
+    convert.quantize_tree_int4({"x": node}, min_size=1, group=64)
+    w = np.asarray(convert.dequantize_int4(
+        node["kernel_q4"], node["kernel_scale4"], jnp.float32))
+    # max error bounded by half a quantization step per group
+    g = k.reshape(4, 64, 64)
+    step = np.abs(g).max(axis=1) / 7.0
+    err = np.abs(w - k).reshape(4, 64, 64)
+    assert np.all(err <= step[:, None, :] * 0.5 + 1e-6)
+
+
+def test_generator_int4_flag(tmp_path):
+    from tiny_models import build_tiny_llama
+    from bergen_tpu.models.generators.jax_llm import LLM
+
+    model_dir = build_tiny_llama(str(tmp_path / "llama"), hidden=256)
+    gen = LLM(model_dir, batch_size=2, max_new_tokens=4, max_length=64,
+              quantization="int4")
+    leaf = gen.params["layers"][0]["attn"]["q"]
+    assert "kernel_q4" in leaf and leaf["kernel_q4"].dtype == jnp.int4
+    out = gen.generate(["what is the capital of avaria"])
+    assert len(out) == 1 and isinstance(out[0], str)
