@@ -54,6 +54,12 @@ class Retrieve:
         if scoring_dtype not in ("auto", "int8", "bf16", "f32"):
             raise ValueError(f"unknown scoring_dtype {scoring_dtype!r}")
         self.scoring_dtype = scoring_dtype
+        # topk_method 'fused' = Pallas fused GEMM+bin-argmax kernel
+        # (ops/fused_topk.py — no [Q, N] score materialisation); 'auto'
+        # selects it on TPU for large corpora, falling back to
+        # approx_max_k / exact.  The recall guard below applies to both.
+        if topk_method not in ("auto", "exact", "approx", "fused"):
+            raise ValueError(f"unknown topk_method {topk_method!r}")
         self.topk_method = topk_method
         self.approx_recall_guard = approx_recall_guard
 
@@ -203,6 +209,8 @@ class Retrieve:
             dtype = jnp.float32
         int8_scoring = self.scoring_dtype == "int8"
         sparse = self._sparse_docs("doc")
+        corpus_dtype = jnp.int8 if int8_scoring else dtype
+        method = self.topk_method
         if sparse:
             from bergen_tpu.ops import sparse as sparse_ops
 
@@ -211,17 +219,39 @@ class Retrieve:
                 mesh, d_vals, d_idx, dtype=dtype
             )
             vocab = q_emb.shape[1]
-        elif int8_scoring:
-            d_emb = self.load_index(doc_index_path, len(docs))
-            corpus_dev, dscales_dev, valid_n = scoring.shard_corpus(
-                mesh, d_emb, dtype=jnp.int8
-            )
         else:
+            from bergen_tpu.ops import fused_topk
+
             d_emb = self.load_index(doc_index_path, len(docs))
-            corpus_dev, valid_n = scoring.shard_corpus(mesh, d_emb, dtype=dtype)
+            use_fused = method == "fused" or (
+                method == "auto" and on_tpu and len(docs) >= (1 << 17)
+                and fused_topk.supports(d_emb.shape[1], corpus_dtype)
+            )
+            exact_scales_dev = None
+            if use_fused:
+                method = "fused"
+                if int8_scoring:
+                    # per-bin scales feed the fused kernel's i32 epilogue;
+                    # the per-doc expansion feeds the exact recall guard
+                    corpus_dev, dscales_dev, exact_scales_dev, valid_n = (
+                        fused_topk.shard_corpus_rows(mesh, d_emb, jnp.int8)
+                    )
+                else:
+                    corpus_dev, valid_n = fused_topk.shard_corpus_rows(
+                        mesh, d_emb, dtype=corpus_dtype
+                    )
+                    dscales_dev = None
+            elif int8_scoring:
+                corpus_dev, dscales_dev, valid_n = scoring.shard_corpus(
+                    mesh, d_emb, dtype=jnp.int8
+                )
+            else:
+                corpus_dev, valid_n = scoring.shard_corpus(
+                    mesh, d_emb, dtype=dtype
+                )
+                dscales_dev = None
 
         k = min(top_k, valid_n)
-        method = self.topk_method
         all_vals, all_idx = [], []
         for bi, s in enumerate(range(0, q_emb.shape[0], self.batch_size_sim)):
             if sparse:
@@ -230,29 +260,47 @@ class Retrieve:
                     mesh, q, vals_dev, idx_dev, k, vocab, valid_n=valid_n
                 )
             else:
-                if int8_scoring:
-                    q = jnp.asarray(
-                        q_emb[s : s + self.batch_size_sim], jnp.float32
+                q_np = q_emb[s : s + self.batch_size_sim]
+                dsc = dscales_dev
+                if method == "fused":
+                    q = jnp.asarray(q_np, jnp.float32)
+                    # off-TPU the Mosaic kernel runs interpreted — only
+                    # viable for test-sized corpora ('auto' never selects
+                    # fused off-TPU; this keeps topk_method=fused drivable
+                    # in CPU tests)
+                    vals, idxs = fused_topk.sharded_bin_topk(
+                        mesh, q, corpus_dev, k, valid_n=valid_n,
+                        doc_scales=dsc, interpret=not on_tpu,
                     )
-                    dsc = dscales_dev
+                elif method == "exact_rows":
+                    q = jnp.asarray(q_np, jnp.float32)
+                    vals, idxs = fused_topk.sharded_exact_topk_rows(
+                        mesh, q, corpus_dev, k, valid_n=valid_n,
+                        doc_scales=exact_scales_dev,
+                    )
                 else:
                     q = jnp.asarray(
-                        q_emb[s : s + self.batch_size_sim], dtype=dtype
+                        q_np, jnp.float32 if int8_scoring else dtype
                     )
-                    dsc = None
-                vals, idxs = scoring.sharded_topk(
-                    mesh, q, corpus_dev, k, valid_n=valid_n, doc_scales=dsc,
-                    method=method,
-                )
-                if bi == 0 and method != "exact" and on_tpu:
+                    vals, idxs = scoring.sharded_topk(
+                        mesh, q, corpus_dev, k, valid_n=valid_n,
+                        doc_scales=dsc, method=method,
+                    )
+                if bi == 0 and method not in ("exact", "exact_rows") and on_tpu:
                     # approx-recall guard (measured on REAL embeddings, not
                     # Gaussians): dual-run the first batch exactly; if the
-                    # approx top-k overlap is below the guard, fall back to
-                    # exact for the whole run
-                    ev, ei = scoring.sharded_topk(
-                        mesh, q, corpus_dev, k, valid_n=valid_n,
-                        doc_scales=dsc, method="exact",
-                    )
+                    # approx/fused top-k overlap is below the guard, fall
+                    # back to exact for the whole run
+                    if method == "fused":
+                        ev, ei = fused_topk.sharded_exact_topk_rows(
+                            mesh, q, corpus_dev, k, valid_n=valid_n,
+                            doc_scales=exact_scales_dev,
+                        )
+                    else:
+                        ev, ei = scoring.sharded_topk(
+                            mesh, q, corpus_dev, k, valid_n=valid_n,
+                            doc_scales=dsc, method="exact",
+                        )
                     ai, ei_np = np.asarray(idxs), np.asarray(ei)
                     overlap = np.mean([
                         len(set(ai[r]) & set(ei_np[r])) / max(1, k)
@@ -262,11 +310,13 @@ class Retrieve:
                         import logging
 
                         logging.getLogger(__name__).warning(
-                            "approx top-k overlap %.4f < guard %.2f — "
+                            "%s top-k overlap %.4f < guard %.2f — "
                             "switching to exact top-k for this run",
-                            overlap, self.approx_recall_guard,
+                            method, overlap, self.approx_recall_guard,
                         )
-                        method = "exact"
+                        method = (
+                            "exact_rows" if method == "fused" else "exact"
+                        )
                         vals, idxs = ev, ei
             all_vals.append(np.asarray(vals))
             all_idx.append(np.asarray(idxs))
