@@ -28,6 +28,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# run the rebuild on the CPU mesh (the axon TPU plugin ignores JAX_PLATFORMS,
+# so force it via config — same technique as tests/conftest.py)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 TOP_K = 50
 
 
