@@ -88,20 +88,25 @@ ACT_FNS = {
 # --------------------------------------------------------------------------- #
 
 
-# Encoder flash-attention switch: None = auto (fused Pallas kernel on TPU for
-# seqs >= 128 with a plain [B, S] mask), True/False force.
+# Encoder fused-attention switch: None = auto (whole-sequence-in-VMEM Pallas
+# kernel on TPU for 128 <= S <= 1024 with a plain [B, S] mask), True/False
+# force.  The streaming flash kernel (ops/flash_attention.py) measured ~2x
+# SLOWER than XLA at encoder sizes (1213 vs 2343 docs/s on v5e B256/S192);
+# the short-seq kernel (ops/encoder_attention.py) keeps the [S, S] scores
+# VMEM-resident in natural [B, S, D] layout and measures 2.11 vs 4.31 ms
+# per (projections + attention) layer vs XLA (see its module docstring).
 USE_FLASH_ENCODER: bool | None = None
 
 
-def _encoder_flash(S: int, mask_ndim: int) -> bool:
-    if mask_ndim != 2:
-        return False
+def _encoder_fused(B: int, S: int, num_heads: int, head_dim: int,
+                   mask_ndim: int) -> bool:
+    from bergen_tpu.ops import encoder_attention as ea
+
+    on_tpu = jax.default_backend() == "tpu"
     if USE_FLASH_ENCODER is not None:
-        return USE_FLASH_ENCODER
-    # measured on v5e at B256/S192: the hand kernel is ~2x SLOWER than XLA's
-    # fused attention (1213 vs 2343 docs/s) — XLA already handles encoder
-    # attention well at these sizes, so the kernel stays opt-in
-    return False
+        return USE_FLASH_ENCODER and ea.supported(
+            B, S, num_heads, head_dim, mask_ndim, True)
+    return ea.supported(B, S, num_heads, head_dim, mask_ndim, on_tpu)
 
 
 def rope_rotate(x: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
@@ -143,15 +148,18 @@ def mha(
         q = rope_rotate(q, rope_inv_freq)
         k = rope_rotate(k, rope_inv_freq)
 
-    if (_encoder_flash(S, mask.ndim) and kv.shape[1] == S
-            and attn_bias is None):
-        from bergen_tpu.ops.flash_attention import flash_attention
+    if (_encoder_fused(B, S, num_heads, head_dim, mask.ndim)
+            and kv.shape[1] == S and attn_bias is None):
+        from bergen_tpu.ops.encoder_attention import encoder_attention
 
-        ctx = flash_attention(
-            q, k, v, mask.astype(jnp.float32), causal=False,
-            interpret=jax.default_backend() != "tpu",
+        # the kernel wants natural [B, S, D] layout (head reshape is a free
+        # contiguous collapse; see the kernel docstring for why layout
+        # matters here)
+        ctx = encoder_attention(
+            q.reshape(B, S, D), k.reshape(B, S, D), v.reshape(B, S, D),
+            mask, num_heads,
         )
-        return dense(p["o"], ctx.reshape(B, S, D))
+        return dense(p["o"], ctx)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(head_dim)

@@ -1,0 +1,204 @@
+"""Fused short-sequence encoder attention Pallas kernel for TPU.
+
+The encode hot loop (reference ``modules/retrieve.py:111-144``) runs
+BERT-shaped encoders at short sequence lengths (~128-256 tokens).  There,
+XLA's attention is *memory-bound on the [B, H, S, S] fp32 score tensor*:
+at B=256/S=192/H=12 the scores are ~452 MB per layer and cost ~4.5 ms of
+the ~9 ms layer, with <0.3 ms of FLOPs.  Streaming flash kernels (online
+softmax over key blocks) measured *slower* than XLA here — at short S the
+grid bookkeeping dominates because one whole [S, S] score tile already
+fits in VMEM.
+
+So this kernel does the simple thing flash attention exists to avoid at
+long S: it keeps the entire [S, S] score tile in VMEM, runs a plain
+single-pass softmax, and writes only the context back to HBM.  Scores
+never touch HBM.
+
+Two layout lessons are baked in (both measured on v5e, B=256/S=192/H=12):
+
+1. Mosaic supports squeezing only leading block axes, so heads cannot be
+   indexed out of the middle of a [B, S, H, Dh] block.
+2. A head-folded [B*H, S, Dh] layout (transpose outside the kernel) makes
+   the kernel fast but *poisons the layout* of the surrounding projection
+   matmuls: XLA assigns the custom call's operands/results a transposed
+   layout ({2,0,1}) and then picks a degenerate batch-in-sublanes emitter
+   for the following o-projection (~6 ms/layer) — the kernel win vanishes
+   end-to-end (107 ms vs 104 ms full-encoder step).
+
+Hence v3: q/k/v/o stay in natural row-major [B, S, D] exactly as the
+projection matmuls produce them.  Heads are processed in 128-lane groups
+(g = 128 // Dh heads at a time): load a lane-aligned [S, 128] slice,
+split per-head values in registers, concatenate the per-head contexts and
+store one aligned [S, 128] group.  No transposes anywhere, no layout
+pressure on XLA.
+
+Measured in-context (qkvo projections + attention, per layer):
+  fused v3       2.11 ms
+  XLA attention  4.31 ms    (attention alone: ~0.5 ms vs ~2.7 ms)
+Whole-encoder effect: 104 -> ~78 ms/step on the bench encode workload.
+
+Multi-chip: a bare ``pallas_call`` has no SPMD partitioning rule, so under
+a >1-device mesh the call is wrapped in ``shard_map`` over the batch axis
+(the grid is embarrassingly parallel over B) — same pattern as
+``ops/scoring.sharded_topk``.  Callers fall back to the XLA path when the
+batch doesn't divide the mesh (``supported``).
+
+Numerics: scores accumulate in fp32 on the MXU, softmax in fp32, context
+matmul accumulates fp32 — identical to the XLA path; measured max-abs
+divergence 2e-3 in bf16 (bf16 rounding noise).  Fully-masked rows get
+uniform probabilities, matching ``jax.nn.softmax`` over a constant row.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+NEG_INF = -1e30
+
+# Whole-sequence-in-VMEM needs ~4 [S, D] blocks plus one [S, S] fp32 score
+# tile resident at once; cap S so VMEM stays comfortable.
+MAX_FUSED_SEQ = 1024
+MIN_FUSED_SEQ = 128  # below this XLA's fusion is already fine
+
+
+def _lane_group(head_dim: int) -> int:
+    """Heads per 128-lane group (1 when a head spans >= one lane tile)."""
+    return max(128 // head_dim, 1)
+
+
+def supported(B: int, S: int, num_heads: int, head_dim: int,
+              mask_ndim: int, on_tpu: bool) -> bool:
+    """Shapes/platforms this kernel handles (self-attention, [B, S] mask).
+
+    Head groups must tile the 128-lane dimension exactly, and under a
+    multi-device mesh the batch must divide it (shard_map wrap).
+    """
+    if not (on_tpu and mask_ndim == 2
+            and MIN_FUSED_SEQ <= S <= MAX_FUSED_SEQ):
+        return False
+    g = _lane_group(head_dim)
+    if g * head_dim != 128 and head_dim % 128 != 0:
+        return False
+    if num_heads % g != 0:
+        return False
+    n_dev = len(jax.devices())
+    return n_dev == 1 or B % n_dev == 0
+
+
+# Batch elements per grid invocation.  Measured on v5e (B256/S192 encode
+# step): block_b=1 -> 81.2 ms, block_b=8 -> 83.7 ms — the single-element
+# grid pipelines DMA best, so the default stays 1; the knob remains for
+# other shapes.  Auto: largest power of two <= BLOCK_B_MAX dividing the
+# local batch, subject to VMEM (~4 * block_b * S * D * 2 bytes of blocks).
+BLOCK_B_MAX = 1
+
+
+def _pick_block_b(B: int, S: int, D: int) -> int:
+    bb = 1
+    while (bb * 2 <= BLOCK_B_MAX and B % (bb * 2) == 0
+           and 4 * (bb * 2) * S * D * 2 <= 8 * 1024 * 1024):
+        bb *= 2
+    return bb
+
+
+def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
+            block_b: int, heads: int, head_dim: int, scale: float):
+    """q/k/v/o refs are [block_b, S, D]; m_ref is [block_b, 1, S]."""
+    g = _lane_group(head_dim)
+    gw = g * head_dim  # lane-aligned group width
+    for b in range(block_b):
+        bias = jnp.where(m_ref[b][0, :][None, :] > 0, 0.0,
+                         jnp.float32(NEG_INF))
+        for grp in range(heads // g):
+            c0 = grp * gw
+            q2 = q_ref[b][:, c0:c0 + gw]  # [S, gw] lane-aligned value slice
+            k2 = k_ref[b][:, c0:c0 + gw]
+            v2 = v_ref[b][:, c0:c0 + gw]
+            outs = []
+            for j in range(g):
+                qh = q2[:, j * head_dim:(j + 1) * head_dim]
+                kh = k2[:, j * head_dim:(j + 1) * head_dim]
+                vh = v2[:, j * head_dim:(j + 1) * head_dim]
+                s = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + bias                      # [S, S] f32, VMEM-only
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                p = (p / l).astype(vh.dtype)
+                outs.append(
+                    jnp.dot(p, vh, preferred_element_type=jnp.float32))
+            o_ref[b, :, c0:c0 + gw] = jnp.concatenate(
+                outs, axis=1).astype(o_ref.dtype)
+
+
+def _attn_local(q, k, v, mask, num_heads: int):
+    """Pallas attention on local (per-shard) arrays. q/k/v: [B, S, D]."""
+    B, S, D = q.shape
+    head_dim = D // num_heads
+    bb = _pick_block_b(B, S, D)
+    spec = pl.BlockSpec((bb, S, D), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, block_b=bb, heads=num_heads,
+                          head_dim=head_dim,
+                          scale=1.0 / math.sqrt(head_dim)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B // bb,),
+            in_specs=[spec, spec, spec,
+                      pl.BlockSpec((bb, 1, S), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=spec,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * S * S * head_dim,
+            transcendentals=B * num_heads * S * S,
+            bytes_accessed=4 * B * S * D * 2,
+        ),
+        # CPU (tests): run the kernel in the Pallas interpreter so the fused
+        # path is coverable without Mosaic
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, mask.astype(jnp.int32)[:, None, :])
+
+
+def encoder_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Bidirectional (encoder) attention, whole sequence per VMEM tile.
+
+    q, k, v: [B, S, D] in natural (projection-output) layout; mask: [B, S]
+    (1 = attend, shared across heads).  Returns [B, S, D] context in
+    q.dtype.
+    """
+    n_dev = len(jax.devices())
+    local = functools.partial(_attn_local, num_heads=num_heads)
+    if n_dev > 1 and q.shape[0] % n_dev == 0:
+        # partition the embarrassingly-parallel batch grid over the mesh;
+        # matches the batch sharding convention of dense.py / crossencoder.py
+        # (P(("data", "model"), ...)); replicated inputs are sliced by XLA
+        from bergen_tpu.parallel import get_mesh
+
+        mesh = get_mesh()
+        axes = tuple(mesh.axis_names)
+        bspec = P(axes, None, None)
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(bspec, bspec, bspec, P(axes, None)),
+            out_specs=bspec, check_vma=False,
+        )
+        return fn(q, k, v, mask)
+    return local(q, k, v, mask)
