@@ -259,10 +259,27 @@ def encode(
         alibi = -alibi_slopes(cfg.num_heads)[:, None, None] * dist  # [H,S,S]
 
     act = ACT_FNS[cfg.hidden_act]
+    # Fused whole-attention-block kernel (qkv proj + attention + o proj +
+    # residual + LN in one pallas_call) for plain absolute-position encoders
+    # on TPU; rope/ALiBi variants route through core.mha (which still fuses
+    # the attention itself).  See ops/encoder_attention.py.
+    use_block = (
+        core._encoder_fused(B, S, cfg.num_heads,
+                            cfg.hidden_size // cfg.num_heads,
+                            attention_mask.ndim)
+        and rope_inv_freq is None and alibi is None
+    )
     for layer in params["layers"]:
-        a = mha(layer["attn"], x, attention_mask, cfg.num_heads,
-                rope_inv_freq=rope_inv_freq, attn_bias=alibi)
-        x = layernorm(layer["attn_ln"], x + a, cfg.layer_norm_eps)
+        if use_block:
+            from bergen_tpu.ops.encoder_attention import attention_block
+
+            x = attention_block(x, layer["attn"], layer["attn_ln"],
+                                attention_mask, cfg.num_heads,
+                                cfg.layer_norm_eps)
+        else:
+            a = mha(layer["attn"], x, attention_mask, cfg.num_heads,
+                    rope_inv_freq=rope_inv_freq, attn_bias=alibi)
+            x = layernorm(layer["attn_ln"], x + a, cfg.layer_norm_eps)
         if cfg.mlp_gated:
             h = dense(layer["mlp_up"], x) * act(dense(layer["mlp_gate"], x))
         else:

@@ -171,6 +171,139 @@ def _attn_local(q, k, v, mask, num_heads: int):
     )(q, k, v, mask.astype(jnp.int32)[:, None, :])
 
 
+# --------------------------------------------------------------------------- #
+# whole attention BLOCK fusion (qkv proj + attention + o proj + residual + LN)
+# --------------------------------------------------------------------------- #
+#
+# Even with the fused attention above, ~1.7 ms/layer of boundary ops remain
+# around the custom call (qkv bias adds, the o-projection scheduled alone,
+# the residual+LayerNorm convert/reduce) that XLA can no longer fuse across
+# the kernel.  Fusing the whole post-embedding attention block into one
+# pallas_call removes those boundaries; the projection weights ride VMEM as
+# constant blocks across the batch grid (fetched once, ~6 MB at D=768).
+# Measured iso (B=256/S=192/H=12, v5e): 2.00 ms vs 5.05 ms XLA per block.
+
+
+def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
+                  lnb_ref, m_ref, o_ref, *, heads: int, head_dim: int,
+                  scale: float, eps: float):
+    x = x_ref[0]                          # [S, D]
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0][None, :].astype(jnp.float32)       # [S, 3D] f32
+    qkv = qkv.astype(x.dtype)
+    Dm = heads * head_dim
+    g = _lane_group(head_dim)
+    gw = g * head_dim
+    bias = jnp.where(m_ref[0][0, :][None, :] > 0, 0.0, jnp.float32(NEG_INF))
+    groups = []
+    for grp in range(heads // g):
+        c0 = grp * gw
+        q2 = qkv[:, c0:c0 + gw]
+        k2 = qkv[:, Dm + c0:Dm + c0 + gw]
+        v2 = qkv[:, 2 * Dm + c0:2 * Dm + c0 + gw]
+        outs = []
+        for j in range(g):
+            qh = q2[:, j * head_dim:(j + 1) * head_dim]
+            kh = k2[:, j * head_dim:(j + 1) * head_dim]
+            vh = v2[:, j * head_dim:(j + 1) * head_dim]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(vh.dtype)
+            outs.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
+        groups.append(jnp.concatenate(outs, axis=1).astype(x.dtype))
+    ctx = jnp.concatenate(groups, axis=1)              # [S, D]
+    o = jax.lax.dot_general(
+        ctx, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0][None, :].astype(jnp.float32) + x.astype(jnp.float32)
+    mu = jnp.mean(o, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(o - mu), axis=1, keepdims=True)
+    y = (o - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * lns_ref[0][None, :].astype(jnp.float32)
+         + lnb_ref[0][None, :].astype(jnp.float32))
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _block_local(x, wqkv, bqkv, wo, bo, lns, lnb, mask,
+                 num_heads: int, eps: float):
+    B, S, D = x.shape
+    head_dim = D // num_heads
+    xspec = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda b: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_kernel, heads=num_heads, head_dim=head_dim,
+                          scale=1.0 / math.sqrt(head_dim), eps=eps),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=[xspec,
+                      const2((D, 3 * D)), const2((1, 3 * D)),
+                      const2((D, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=xspec,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * S * D * 4 * D
+                   + 4 * B * num_heads * S * S * head_dim),
+            transcendentals=B * num_heads * S * S,
+            bytes_accessed=2 * B * S * D * 2,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, wqkv, bqkv[None, :], wo, bo[None, :], lns[None, :], lnb[None, :],
+      mask.astype(jnp.int32)[:, None, :])
+
+
+def attention_block(
+    x: jnp.ndarray,
+    attn_params,
+    ln_params,
+    mask: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+) -> jnp.ndarray:
+    """Fused LayerNorm(x + o_proj(attention(qkv_proj(x)))) for one layer.
+
+    x: [B, S, D]; attn_params: {"q"|"k"|"v"|"o": {"kernel", "bias"}} (the
+    ``core.mha_init`` layout); ln_params: {"scale", "bias"}; mask: [B, S].
+    """
+    wqkv = jnp.concatenate(
+        [attn_params[n]["kernel"] for n in ("q", "k", "v")], axis=1)
+    bqkv = jnp.concatenate(
+        [attn_params[n]["bias"] for n in ("q", "k", "v")])
+    wo = attn_params["o"]["kernel"]
+    bo = attn_params["o"]["bias"]
+    lns, lnb = ln_params["scale"], ln_params["bias"]
+    n_dev = len(jax.devices())
+    local = functools.partial(_block_local, num_heads=num_heads, eps=eps)
+    if n_dev > 1 and x.shape[0] % n_dev == 0:
+        from bergen_tpu.parallel import get_mesh
+
+        mesh = get_mesh()
+        axes = tuple(mesh.axis_names)
+        bspec = P(axes, None, None)
+        rep2 = P(None, None)
+        rep1 = P(None)
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(bspec, rep2, rep1, rep2, rep1, rep1, rep1,
+                      P(axes, None)),
+            out_specs=bspec, check_vma=False,
+        )
+        return fn(x, wqkv, bqkv, wo, bo, lns, lnb, mask)
+    return local(x, wqkv, bqkv, wo, bo, lns, lnb, mask)
+
+
 def encoder_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

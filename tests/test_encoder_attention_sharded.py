@@ -75,3 +75,32 @@ def test_supported_gates():
     assert not ea.supported(8, 2048, 12, 64, 2, True)  # too long for VMEM
     assert not ea.supported(8, 192, 12, 64, 4, True)  # needs [B, S] mask
     assert not ea.supported(8, 192, 12, 64, 2, False)  # TPU only
+
+
+def test_fused_attention_block_matches_einsum_encode():
+    """bert.encode with the whole-block kernel (interpret) vs the XLA path."""
+    from bergen_tpu.models import bert, core
+
+    cfg = bert.BertConfig(
+        vocab_size=300, hidden_size=128, num_layers=2, num_heads=4,
+        intermediate_size=256, max_position_embeddings=256,
+    )
+    params = bert.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    B, S = 16, 160  # B divides the 8-device mesh; S >= MIN_FUSED_SEQ
+    ids = rng.integers(3, 300, (B, S)).astype(np.int32)
+    am = np.ones((B, S), np.int32)
+    am[1, 100:] = 0
+    am[2, 40:] = 0
+    ids = np.where(am, ids, 0)
+
+    core.USE_FLASH_ENCODER = False
+    ref = np.asarray(bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    core.USE_FLASH_ENCODER = True
+    try:
+        out = np.asarray(
+            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    finally:
+        core.USE_FLASH_ENCODER = None
+    valid = am.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=2e-4, rtol=1e-3)
