@@ -259,23 +259,37 @@ def encode(
         alibi = -alibi_slopes(cfg.num_heads)[:, None, None] * dist  # [H,S,S]
 
     act = ACT_FNS[cfg.hidden_act]
-    # Fused whole-attention-block kernel (qkv proj + attention + o proj +
-    # residual + LN in one pallas_call) for plain absolute-position encoders
-    # on TPU; rope/ALiBi variants route through core.mha (which still fuses
-    # the attention itself).  See ops/encoder_attention.py.
+    # Fused whole-layer kernel (qkv proj + attention + o proj + residual +
+    # LN + FFN + residual + LN in one pallas_call) for plain
+    # absolute-position post-LN encoders on TPU; gated-MLP/exotic-act
+    # variants fall back to the attention-block kernel + XLA FFN, and
+    # rope/ALiBi variants route through core.mha (which still fuses the
+    # attention itself).  See ops/encoder_attention.py.
     use_block = (
         core._encoder_fused(B, S, cfg.num_heads,
                             cfg.hidden_size // cfg.num_heads,
                             attention_mask.ndim)
         and rope_inv_freq is None and alibi is None
     )
-    for layer in params["layers"]:
-        if use_block:
-            from bergen_tpu.ops.encoder_attention import attention_block
+    use_layer = False
+    if use_block:
+        from bergen_tpu.ops import encoder_attention as ea
 
-            x = attention_block(x, layer["attn"], layer["attn_ln"],
-                                attention_mask, cfg.num_heads,
-                                cfg.layer_norm_eps)
+        use_layer = (
+            ea.layer_act_supported(cfg.hidden_act, cfg.mlp_gated)
+            and ea.layer_weights_fit(cfg.hidden_size, cfg.intermediate_size)
+        )
+    for layer in params["layers"]:
+        if use_layer:
+            x = ea.encoder_layer(
+                x, layer["attn"], layer["attn_ln"], layer["mlp_in"],
+                layer["mlp_out"], layer["mlp_ln"], attention_mask,
+                cfg.num_heads, cfg.layer_norm_eps, cfg.hidden_act)
+            continue
+        if use_block:
+            x = ea.attention_block(x, layer["attn"], layer["attn_ln"],
+                                   attention_mask, cfg.num_heads,
+                                   cfg.layer_norm_eps)
         else:
             a = mha(layer["attn"], x, attention_mask, cfg.num_heads,
                     rope_inv_freq=rope_inv_freq, attn_bias=alibi)

@@ -172,31 +172,57 @@ def _attn_local(q, k, v, mask, num_heads: int):
 
 
 # --------------------------------------------------------------------------- #
-# whole attention BLOCK fusion (qkv proj + attention + o proj + residual + LN)
+# whole LAYER fusion (qkv proj + attention + o proj + residual + LN + FFN
+# + residual + LN)
 # --------------------------------------------------------------------------- #
 #
 # Even with the fused attention above, ~1.7 ms/layer of boundary ops remain
 # around the custom call (qkv bias adds, the o-projection scheduled alone,
 # the residual+LayerNorm convert/reduce) that XLA can no longer fuse across
-# the kernel.  Fusing the whole post-embedding attention block into one
-# pallas_call removes those boundaries; the projection weights ride VMEM as
-# constant blocks across the batch grid (fetched once, ~6 MB at D=768).
-# Measured iso (B=256/S=192/H=12, v5e): 2.00 ms vs 5.05 ms XLA per block.
+# the kernel.  Fusing the whole transformer layer into one pallas_call
+# removes every boundary: all weights ride VMEM as constant blocks across
+# the batch grid (fetched once, ~14 MB at D=768/I=3072 — needs the scoped
+# VMEM limit raised above the 16 MB default), and activations round-trip
+# HBM exactly once per layer.
+# Measured iso (B=256/S=192/H=12, v5e): 4.48 ms vs 9.15 ms XLA per layer;
+# attention-block-only fusion measured 2.00 vs 5.05 ms for its sub-block.
+
+# Weight bytes cap for keeping a whole layer resident in VMEM (bert-large
+# at D=1024/I=4096 is ~25 MB; leave headroom under the 64 MB scoped limit
+# requested below).
+MAX_LAYER_WEIGHT_BYTES = 48 * 1024 * 1024
 
 
-def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
-                  lnb_ref, m_ref, o_ref, *, heads: int, head_dim: int,
-                  scale: float, eps: float):
-    x = x_ref[0]                          # [S, D]
-    qkv = jax.lax.dot_general(
-        x, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0][None, :].astype(jnp.float32)       # [S, 3D] f32
-    qkv = qkv.astype(x.dtype)
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7, below bf16 noise) —
+    Mosaic has no erf primitive."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t \
+        * jnp.exp(-ax * ax)
+    return s * y
+
+
+_KERNEL_ACTS = {
+    # HF BERT default "gelu" is erf-based
+    "gelu": lambda x: x * 0.5 * (1.0 + _erf(x * 0.7071067811865476)),
+    "gelu_new": lambda x: x * 0.5 * (1.0 + jnp.tanh(
+        0.7978845608028654 * (x + 0.044715 * x * x * x))),
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "silu": lambda x: x * (1.0 / (1.0 + jnp.exp(-x))),
+}
+
+
+def _attn_sub(x, qkv, m_row, *, heads, head_dim, scale):
+    """Shared attention math on one sequence: qkv [S, 3D] bf16 -> ctx [S, D]."""
     Dm = heads * head_dim
     g = _lane_group(head_dim)
     gw = g * head_dim
-    bias = jnp.where(m_ref[0][0, :][None, :] > 0, 0.0, jnp.float32(NEG_INF))
+    bias = jnp.where(m_row[None, :] > 0, 0.0, jnp.float32(NEG_INF))
     groups = []
     for grp in range(heads // g):
         c0 = grp * gw
@@ -218,17 +244,107 @@ def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
             p = (p / l).astype(vh.dtype)
             outs.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
         groups.append(jnp.concatenate(outs, axis=1).astype(x.dtype))
-    ctx = jnp.concatenate(groups, axis=1)              # [S, D]
+    return jnp.concatenate(groups, axis=1)  # [S, D]
+
+
+def _ln(o, scale_row, bias_row, eps):
+    mu = jnp.mean(o, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(o - mu), axis=1, keepdims=True)
+    return ((o - mu) * jax.lax.rsqrt(var + eps)
+            * scale_row[None, :].astype(jnp.float32)
+            + bias_row[None, :].astype(jnp.float32))
+
+
+def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
+                  lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref,
+                  ln2b_ref, m_ref, o_ref, *, heads: int, head_dim: int,
+                  scale: float, eps: float, act: str):
+    x = x_ref[0]                                        # [S, D]
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0][None, :].astype(jnp.float32)        # [S, 3D] f32
+    ctx = _attn_sub(x, qkv.astype(x.dtype), m_ref[0][0, :],
+                    heads=heads, head_dim=head_dim, scale=scale)
     o = jax.lax.dot_general(
         ctx, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bo_ref[0][None, :].astype(jnp.float32) + x.astype(jnp.float32)
-    mu = jnp.mean(o, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(o - mu), axis=1, keepdims=True)
-    y = (o - mu) * jax.lax.rsqrt(var + eps)
-    y = (y * lns_ref[0][None, :].astype(jnp.float32)
-         + lnb_ref[0][None, :].astype(jnp.float32))
+    y = _ln(o, lns_ref[0], lnb_ref[0], eps)             # [S, D] f32
+    yb = y.astype(x.dtype)
+    h = jax.lax.dot_general(
+        yb, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0][None, :].astype(jnp.float32)
+    h = _KERNEL_ACTS[act](h).astype(x.dtype)
+    f = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0][None, :].astype(jnp.float32) + y
+    z = _ln(f, ln2s_ref[0], ln2b_ref[0], eps)
+    o_ref[0] = z.astype(o_ref.dtype)
+
+
+def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
+                  lnb_ref, m_ref, o_ref, *, heads: int, head_dim: int,
+                  scale: float, eps: float):
+    """Attention block only (no FFN) — for acts/MLPs the layer kernel
+    doesn't cover (gated MLPs, exotic activations)."""
+    x = x_ref[0]
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0][None, :].astype(jnp.float32)
+    ctx = _attn_sub(x, qkv.astype(x.dtype), m_ref[0][0, :],
+                    heads=heads, head_dim=head_dim, scale=scale)
+    o = jax.lax.dot_general(
+        ctx, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0][None, :].astype(jnp.float32) + x.astype(jnp.float32)
+    y = _ln(o, lns_ref[0], lnb_ref[0], eps)
     o_ref[0] = y.astype(o_ref.dtype)
+
+
+_VMEM_PARAMS = dict(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _layer_local(x, wqkv, bqkv, wo, bo, lns, lnb, w1, b1, w2, b2, ln2s,
+                 ln2b, mask, num_heads: int, eps: float, act: str):
+    B, S, D = x.shape
+    I = w1.shape[1]
+    head_dim = D // num_heads
+    xspec = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda b: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel, heads=num_heads, head_dim=head_dim,
+                          scale=1.0 / math.sqrt(head_dim), eps=eps, act=act),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=[xspec,
+                      const2((D, 3 * D)), const2((1, 3 * D)),
+                      const2((D, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      const2((D, I)), const2((1, I)),
+                      const2((I, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=xspec,
+        ),
+        compiler_params=pltpu.CompilerParams(**_VMEM_PARAMS),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * S * D * (4 * D + 2 * I)
+                   + 4 * B * num_heads * S * S * head_dim),
+            transcendentals=B * num_heads * S * S + B * S * I,
+            bytes_accessed=2 * B * S * D * 2,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, wqkv, bqkv[None, :], wo, bo[None, :], lns[None, :], lnb[None, :],
+      w1, b1[None, :], w2, b2[None, :], ln2s[None, :], ln2b[None, :],
+      mask.astype(jnp.int32)[:, None, :])
 
 
 def _block_local(x, wqkv, bqkv, wo, bo, lns, lnb, mask,
@@ -253,6 +369,7 @@ def _block_local(x, wqkv, bqkv, wo, bo, lns, lnb, mask,
                                    memory_space=pltpu.VMEM)],
             out_specs=xspec,
         ),
+        compiler_params=pltpu.CompilerParams(**_VMEM_PARAMS),
         cost_estimate=pl.CostEstimate(
             flops=(2 * B * S * D * 4 * D
                    + 4 * B * num_heads * S * S * head_dim),
@@ -262,6 +379,66 @@ def _block_local(x, wqkv, bqkv, wo, bo, lns, lnb, mask,
         interpret=jax.default_backend() != "tpu",
     )(x, wqkv, bqkv[None, :], wo, bo[None, :], lns[None, :], lnb[None, :],
       mask.astype(jnp.int32)[:, None, :])
+
+
+def _shard_wrap(local, x, args, mask):
+    """Run `local` under shard_map over the batch axis when a multi-device
+    mesh is present and divides the batch; unwrapped otherwise."""
+    n_dev = len(jax.devices())
+    if n_dev > 1 and x.shape[0] % n_dev == 0:
+        from bergen_tpu.parallel import get_mesh
+
+        mesh = get_mesh()
+        axes = tuple(mesh.axis_names)
+        bspec = P(axes, None, None)
+        wspecs = tuple(P(*([None] * a.ndim)) for a in args)
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(bspec, *wspecs, P(axes, None)),
+            out_specs=bspec, check_vma=False,
+        )
+        return fn(x, *args, mask)
+    return local(x, *args, mask)
+
+
+def layer_act_supported(act: str, mlp_gated: bool) -> bool:
+    return not mlp_gated and act in _KERNEL_ACTS
+
+
+def layer_weights_fit(D: int, I: int, itemsize: int = 2) -> bool:
+    return (3 * D * D + D * D + 2 * D * I) * itemsize <= MAX_LAYER_WEIGHT_BYTES
+
+
+def encoder_layer(
+    x: jnp.ndarray,
+    attn_params,
+    ln_params,
+    mlp_in,
+    mlp_out,
+    ln2_params,
+    mask: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    act: str,
+) -> jnp.ndarray:
+    """One fully-fused post-LN transformer encoder layer.
+
+    LN2(y + W2 act(W1 y));  y = LN(x + o_proj(attention(qkv_proj(x)))).
+    x: [B, S, D]; attn_params: {"q"|"k"|"v"|"o": {"kernel", "bias"}};
+    mlp_in/mlp_out: {"kernel", "bias"}; ln/ln2: {"scale", "bias"}.
+    """
+    wqkv = jnp.concatenate(
+        [attn_params[n]["kernel"] for n in ("q", "k", "v")], axis=1)
+    bqkv = jnp.concatenate(
+        [attn_params[n]["bias"] for n in ("q", "k", "v")])
+    args = (wqkv, bqkv, attn_params["o"]["kernel"], attn_params["o"]["bias"],
+            ln_params["scale"], ln_params["bias"],
+            mlp_in["kernel"], mlp_in["bias"],
+            mlp_out["kernel"], mlp_out["bias"],
+            ln2_params["scale"], ln2_params["bias"])
+    local = functools.partial(_layer_local, num_heads=num_heads, eps=eps,
+                              act=act)
+    return _shard_wrap(local, x, args, mask)
 
 
 def attention_block(
@@ -281,27 +458,10 @@ def attention_block(
         [attn_params[n]["kernel"] for n in ("q", "k", "v")], axis=1)
     bqkv = jnp.concatenate(
         [attn_params[n]["bias"] for n in ("q", "k", "v")])
-    wo = attn_params["o"]["kernel"]
-    bo = attn_params["o"]["bias"]
-    lns, lnb = ln_params["scale"], ln_params["bias"]
-    n_dev = len(jax.devices())
+    args = (wqkv, bqkv, attn_params["o"]["kernel"], attn_params["o"]["bias"],
+            ln_params["scale"], ln_params["bias"])
     local = functools.partial(_block_local, num_heads=num_heads, eps=eps)
-    if n_dev > 1 and x.shape[0] % n_dev == 0:
-        from bergen_tpu.parallel import get_mesh
-
-        mesh = get_mesh()
-        axes = tuple(mesh.axis_names)
-        bspec = P(axes, None, None)
-        rep2 = P(None, None)
-        rep1 = P(None)
-        fn = shard_map(
-            local, mesh=mesh,
-            in_specs=(bspec, rep2, rep1, rep2, rep1, rep1, rep1,
-                      P(axes, None)),
-            out_specs=bspec, check_vma=False,
-        )
-        return fn(x, wqkv, bqkv, wo, bo, lns, lnb, mask)
-    return local(x, wqkv, bqkv, wo, bo, lns, lnb, mask)
+    return _shard_wrap(local, x, args, mask)
 
 
 def encoder_attention(
