@@ -399,13 +399,23 @@ def to_device_tree(params, dtype=jnp.bfloat16, norm_keys=("ln", "scale", "bias",
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
-def quantize_tree_int8(params, min_size: int = 1 << 16):
+def quantize_tree_int8(params, min_size: int = 1 << 16, mxu: bool = False):
     """Weight-only int8 per-output-channel quantization of linear kernels
     (the TPU stand-in for bitsandbytes int8, reference llm.py:94-127): each
     large 'kernel' leaf becomes int8 values + f32 per-column scales, cutting
     weight HBM ~2x vs bf16; dequantization happens on the fly in the matmul
-    (see llama._proj)."""
+    (see llama._proj).
+
+    mxu=True (W8A8): store the scale under 'kernel_scale_a8' instead, which
+    makes llama._proj quantize activations per-row and run the matmul as a
+    native int8xint8 MXU dot.  Weight-only int8 dequantizes to bf16 at
+    trace time (XLA hoists the loop-invariant dequant out of the decode
+    scan, so decode still READS bf16 weights); the W8A8 path keeps weights
+    int8 in HBM — half the weight-read bytes of the memory-bound decode
+    step — at the cost of per-row activation rounding."""
     import jax
+
+    scale_key = "kernel_scale_a8" if mxu else "kernel_scale"
 
     def visit(node):
         if isinstance(node, dict):
@@ -416,7 +426,7 @@ def quantize_tree_int8(params, min_size: int = 1 << 16):
                     scale = jnp.max(jnp.abs(kf), axis=0) / 127.0
                     scale = jnp.maximum(scale, 1e-8)
                     node["kernel_q"] = jnp.round(kf / scale).astype(jnp.int8)
-                    node["kernel_scale"] = scale
+                    node[scale_key] = scale
                     del node["kernel"]
             for v in node.values():
                 visit(v)

@@ -80,6 +80,11 @@ class LLM(Generator):
         del hf_model
         if quantization == "int8":
             params = convert.quantize_tree_int8(params)
+        elif quantization in ("int8_mxu", "w8a8"):
+            # W8A8: weights stay int8 in HBM and the matmuls run on the
+            # int8 MXU (2x peak, half the decode weight reads); activations
+            # are per-row quantized on the fly — see llama._proj
+            params = convert.quantize_tree_int8(params, mxu=True)
         elif quantization == "int4":
             # true 4-bit weight-only, group-wise scales (jnp.int4 storage —
             # XLA packs two nibbles per byte in TPU HBM)

@@ -255,6 +255,23 @@ def cache_shardings(model_axis: str = "model"):
 
 
 def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_scale_a8" in p:
+        # W8A8 (convert.quantize_tree_int8(mxu=True)): per-row int8
+        # activations x per-column int8 weights as a native MXU int8 dot.
+        # Weights stay int8 in HBM — the weight-only path below dequantizes
+        # at trace time and XLA hoists the bf16 weights out of the decode
+        # scan, so only this path halves decode's weight-read bytes.
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.round(xf / sx).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, p["kernel_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sx * p["kernel_scale_a8"]
+        if "bias" in p:
+            y = y + p["bias"]
+        return y.astype(x.dtype)
     if "kernel_q" in p:  # int8 weight-only path (convert.quantize_tree_int8)
         w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)

@@ -113,3 +113,52 @@ def test_generator_int4_flag(tmp_path):
     assert "kernel_q4" in leaf and leaf["kernel_q4"].dtype == jnp.int4
     out = gen.generate(["what is the capital of avaria"])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_w8a8_forward_close_to_fp_and_greedy_agrees():
+    """int8 MXU path (weights stay int8 in HBM, activations per-row int8)."""
+    import copy
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=512, max_position_embeddings=128,
+    )
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qparams = convert.quantize_tree_int8(copy.deepcopy(params), min_size=1,
+                                         mxu=True)
+    leaf = qparams["layers"][0]["attn"]["q"]
+    assert "kernel_scale_a8" in leaf and leaf["kernel_q"].dtype == jnp.int8
+
+    ids = jnp.asarray(np.arange(10)[None] + 3, jnp.int32)
+    pos = jnp.asarray(np.arange(10)[None], jnp.int32)
+    mask = jnp.tril(jnp.ones((10, 10), bool))[None]
+    ref, _ = llama.forward(params, cfg, ids, pos,
+                           llama.init_cache(cfg, 1, 10, jnp.float32), mask)
+    out, _ = llama.forward(qparams, cfg, ids, pos,
+                           llama.init_cache(cfg, 1, 10, jnp.float32), mask)
+    ref, out = np.asarray(ref), np.asarray(out)
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.08
+    agree = (ref.argmax(-1) == out.argmax(-1)).mean()
+    assert agree >= 0.8
+
+    # greedy generation matches the fp tree on a no-outlier random model
+    am = jnp.ones((1, 10), jnp.int32)
+    t_fp = llama.greedy_generate(params, cfg, ids, am, 6,
+                                 eos_token_id=-1, pad_token_id=0)
+    t_q = llama.greedy_generate(qparams, cfg, ids, am, 6,
+                                eos_token_id=-1, pad_token_id=0)
+    assert (np.asarray(t_fp) == np.asarray(t_q)).mean() >= 0.8
+
+
+def test_generator_w8a8_flag(tmp_path):
+    from tiny_models import build_tiny_llama
+    from bergen_tpu.models.generators.jax_llm import LLM
+
+    model_dir = build_tiny_llama(str(tmp_path / "llama"), hidden=256)
+    gen = LLM(model_dir, batch_size=2, max_new_tokens=4, max_length=64,
+              quantization="w8a8")
+    leaf = gen.params["layers"][0]["attn"]["q"]
+    assert "kernel_scale_a8" in leaf and leaf["kernel_q"].dtype == jnp.int8
+    out = gen.generate(["what is the capital of avaria"])
+    assert len(out) == 1 and isinstance(out[0], str)
