@@ -46,6 +46,11 @@ ENC_SEQ = 192
 GPU_BASELINE_QPS = 33_300.0       # reference streamed path (BASELINE.md)
 GPU_RESIDENT_QPS = 150_000.0      # corpus-resident A100 (context only)
 GPU_ENCODE_DOCS_PER_SEC = 3_540.0
+GPU_GENERATE_TOK_PER_SEC = 2_500.0  # reference as-implemented: HF fp16
+# model.generate on A100 (eager per-step python loop, kv-cache concat
+# copies — llm.py:134-148); an efficient vLLM A100 stack would reach
+# ~20k tok/s on this workload and beat any v5e absolute (A100 HBM is
+# 2.4x v5e's) — both documented in BASELINE.md "Generation baseline".
 
 
 def _emit(metric, value, unit, baseline):
@@ -180,6 +185,58 @@ def bench_scoring(on_tpu):
     return Q_BATCH / dt_i8, "int8_xla"
 
 
+def bench_generate(on_tpu):
+    """TinyLlama-1.1B dims, batch 32, prefill 256 + 64 new tokens; W8A8
+    int8-MXU weights (the reference quantizes small models to 4-bit via
+    bitsandbytes — multidomain.md:27 — so quantized-vs-quantized is the
+    like-for-like comparison)."""
+    import copy
+    import jax
+    import jax.numpy as jnp
+
+    from bergen_tpu.models import convert, llama
+
+    if on_tpu:
+        cfg = llama.LlamaConfig(
+            vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+            num_kv_heads=4, intermediate_size=5632,
+            max_position_embeddings=2048,
+        )
+        B, S, NEW = 32, 256, 64
+    else:  # smoke-test dims only — the driver benches on TPU
+        cfg = llama.LlamaConfig(
+            vocab_size=1000, hidden_size=256, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=512,
+            max_position_embeddings=512,
+        )
+        B, S, NEW = 4, 32, 4
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    if on_tpu:
+        convert.quantize_tree_int8(params, mxu=True)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
+    am = jnp.ones((B, S), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(p, ctr, n):
+        def body(_, carry):
+            acc, c = carry
+            ids2 = (ids + c) % cfg.vocab_size
+            toks = llama.greedy_generate(
+                p, cfg, ids2, am, NEW, eos_token_id=-1, pad_token_id=0,
+                cache_dtype=jnp.bfloat16)
+            t = jnp.sum(toks[0, :4]).astype(jnp.float32)
+            return acc + t, c + (t * 1e-30).astype(jnp.int32)
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), ctr))
+        return acc
+
+    n_iters = 5 if on_tpu else 2
+    dt = _timed_chained(
+        lambda n: float(chained(params, jnp.int32(0), n)), n_iters)
+    return B * NEW / dt
+
+
 def main():
     import jax
 
@@ -188,6 +245,10 @@ def main():
     docs_per_sec = bench_encode(on_tpu)
     _emit("corpus_encode_docs_per_sec_bertbase_b256_s192", docs_per_sec,
           "docs/sec/chip", GPU_ENCODE_DOCS_PER_SEC)
+
+    tok_per_sec = bench_generate(on_tpu)
+    _emit("tinyllama_generate_tok_per_sec_b32_prefill256_new64_w8a8",
+          tok_per_sec, "new tokens/sec/chip", GPU_GENERATE_TOK_PER_SEC)
 
     qps, which = bench_scoring(on_tpu)
     _emit(f"dense_mips_scoring_qps_1M_docs_768d_top50_{which}", qps,
