@@ -174,8 +174,8 @@ class GenerationServer:
                 logits = jnp.dot(h[:, 0], params["embed"].T.astype(h.dtype),
                                  preferred_element_type=jnp.float32)
             else:
-                logits = jnp.dot(h[:, 0], head["kernel"],
-                                 preferred_element_type=jnp.float32)
+                # through _proj so quantized trees (int8/int4/w8a8) work
+                logits = llama._proj(head, h[:, 0]).astype(jnp.float32)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(active_mask, nxt, tokens)
             return k_cache, v_cache, nxt

@@ -9,7 +9,7 @@ network access to the HF hub for most targets.
 
 Usage: python scripts/generate_oracle.py <target> [runs_folder]
        targets: frames frames_debug sciq narrativeqa bioasq_ragged
-                bioasq11b humaneval
+                bioasq11b humaneval timesensitiveqa
 """
 
 import os
@@ -99,6 +99,24 @@ def main(target: str, runs_folder: str = "runs") -> None:
                         break
 
         _write(get_oracle_ranking_filename(runs_folder, "CodeRAGBench_HumanEval", "dev"),
+               rows())
+
+    elif target == "timesensitiveqa":
+        # reference scripts/wikipedia_time_sensitive_qa_oracle.py: the oracle
+        # passage id is the quoted en.wikipedia.org URL derived from the
+        # question's page title (idx prefix before '#')
+        import urllib.parse
+
+        ds = datasets.load_dataset("diwank/time-sensitive-qa")["validation"]
+
+        def rows():
+            for sample in ds:
+                title = str(sample["idx"]).split("#")[0]
+                url = ("https://en.wikipedia.org"
+                       + urllib.parse.quote(title).replace("_", "%20"))
+                yield str(sample["idx"]), [url]
+
+        _write(get_oracle_ranking_filename(runs_folder, "TimeSensitiveQA", "dev"),
                rows())
 
     else:

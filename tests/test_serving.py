@@ -118,3 +118,28 @@ def test_llm_generator_serve_rejects_gemma2():
     params = llama.init(jax.random.PRNGKey(0), cfg)
     with pytest.raises(NotImplementedError):
         GenerationServer(params, cfg, eos_token_id=2, pad_token_id=0)
+
+
+def test_continuous_batching_w8a8(cfg_params):
+    """The serve engine's prefill/decode route through llama._proj, so the
+    w8a8 int8-MXU tree must work (and stay close to fp greedy output)."""
+    import copy
+
+    from bergen_tpu.models import convert
+
+    cfg, params = cfg_params
+    qparams = copy.deepcopy(params)
+    convert.quantize_tree_int8(qparams, min_size=1, mxu=True)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(3, 96, size=n)) for n in (5, 12, 9)]
+    max_new = 8
+
+    server = GenerationServer(qparams, cfg, EOS, PAD, max_slots=2, max_len=48,
+                              prompt_buckets=(8, 16))
+    rids = [server.submit(p, max_new) for p in prompts]
+    results = server.run()
+    ref = batch_reference(cfg, qparams, prompts, max_new)
+    for rid, r in zip(rids, ref):
+        got = server_tokens(results[rid], max_new)
+        want = [int(t) for t in r][:max_new]
+        assert got == want
