@@ -99,14 +99,15 @@ USE_FLASH_ENCODER: bool | None = None
 
 
 def _encoder_fused(B: int, S: int, num_heads: int, head_dim: int,
-                   mask_ndim: int) -> bool:
+                   mask_ndim: int, has_bias: bool = False) -> bool:
     from bergen_tpu.ops import encoder_attention as ea
 
     on_tpu = jax.default_backend() == "tpu"
     if USE_FLASH_ENCODER is not None:
         return USE_FLASH_ENCODER and ea.supported(
-            B, S, num_heads, head_dim, mask_ndim, True)
-    return ea.supported(B, S, num_heads, head_dim, mask_ndim, on_tpu)
+            B, S, num_heads, head_dim, mask_ndim, True, has_bias)
+    return ea.supported(B, S, num_heads, head_dim, mask_ndim, on_tpu,
+                        has_bias)
 
 
 def rope_rotate(x: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
@@ -148,16 +149,17 @@ def mha(
         q = rope_rotate(q, rope_inv_freq)
         k = rope_rotate(k, rope_inv_freq)
 
-    if (_encoder_fused(B, S, num_heads, head_dim, mask.ndim)
-            and kv.shape[1] == S and attn_bias is None):
+    if (_encoder_fused(B, S, num_heads, head_dim, mask.ndim,
+                       has_bias=attn_bias is not None)
+            and kv.shape[1] == S):
         from bergen_tpu.ops.encoder_attention import encoder_attention
 
         # the kernel wants natural [B, S, D] layout (head reshape is a free
         # contiguous collapse; see the kernel docstring for why layout
-        # matters here)
+        # matters here); batch-invariant [H, S, S] biases (ALiBi) ride VMEM
         ctx = encoder_attention(
             q.reshape(B, S, D), k.reshape(B, S, D), v.reshape(B, S, D),
-            mask, num_heads,
+            mask, num_heads, attn_bias=attn_bias,
         )
         return dense(p["o"], ctx)
 

@@ -75,14 +75,19 @@ def _lane_group(head_dim: int) -> int:
 
 
 def supported(B: int, S: int, num_heads: int, head_dim: int,
-              mask_ndim: int, on_tpu: bool) -> bool:
+              mask_ndim: int, on_tpu: bool,
+              has_bias: bool = False) -> bool:
     """Shapes/platforms this kernel handles (self-attention, [B, S] mask).
 
     Head groups must tile the 128-lane dimension exactly, and under a
-    multi-device mesh the batch must divide it (shard_map wrap).
+    multi-device mesh the batch must divide it (shard_map wrap).  An
+    additive [H, S, S] bias (ALiBi / T5 relative positions) rides VMEM as
+    a constant block, so it must fit comfortably.
     """
     if not (on_tpu and mask_ndim == 2
             and MIN_FUSED_SEQ <= S <= MAX_FUSED_SEQ):
+        return False
+    if has_bias and num_heads * S * S * 4 > 32 * 1024 * 1024:
         return False
     g = _lane_group(head_dim)
     if g * head_dim != 128 and head_dim % 128 != 0:
@@ -109,14 +114,21 @@ def _pick_block_b(B: int, S: int, D: int) -> int:
     return bb
 
 
-def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
-            block_b: int, heads: int, head_dim: int, scale: float):
-    """q/k/v/o refs are [block_b, S, D]; m_ref is [block_b, 1, S]."""
+def _kernel(q_ref, k_ref, v_ref, m_ref, *rest,
+            block_b: int, heads: int, head_dim: int, scale: float,
+            has_bias: bool):
+    """q/k/v/o refs are [block_b, S, D]; m_ref is [block_b, 1, S]; with
+    has_bias an extra [H, S, S] additive-bias ref precedes the output."""
+    if has_bias:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        bias_ref = None
     g = _lane_group(head_dim)
     gw = g * head_dim  # lane-aligned group width
     for b in range(block_b):
-        bias = jnp.where(m_ref[b][0, :][None, :] > 0, 0.0,
-                         jnp.float32(NEG_INF))
+        mbias = jnp.where(m_ref[b][0, :][None, :] > 0, 0.0,
+                          jnp.float32(NEG_INF))
         for grp in range(heads // g):
             c0 = grp * gw
             q2 = q_ref[b][:, c0:c0 + gw]  # [S, gw] lane-aligned value slice
@@ -130,7 +142,9 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
                 s = jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * scale + bias                      # [S, S] f32, VMEM-only
+                ) * scale + mbias                     # [S, S] f32, VMEM-only
+                if bias_ref is not None:
+                    s = s + bias_ref[grp * g + j].astype(jnp.float32)
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
@@ -141,25 +155,36 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
                 outs, axis=1).astype(o_ref.dtype)
 
 
-def _attn_local(q, k, v, mask, num_heads: int):
-    """Pallas attention on local (per-shard) arrays. q/k/v: [B, S, D]."""
+def _attn_local(q, k, v, mask, *rest, num_heads: int):
+    """Pallas attention on local (per-shard) arrays. q/k/v: [B, S, D];
+    optional trailing arg: additive [H, S, S] bias (batch-invariant —
+    ALiBi slopes, T5 relative-position buckets)."""
+    attn_bias = rest[0] if rest else None
     B, S, D = q.shape
     head_dim = D // num_heads
     bb = _pick_block_b(B, S, D)
     spec = pl.BlockSpec((bb, S, D), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec,
+                pl.BlockSpec((bb, 1, S), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [q, k, v, mask.astype(jnp.int32)[:, None, :]]
+    if attn_bias is not None:
+        in_specs.append(pl.BlockSpec((num_heads, S, S), lambda b: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(attn_bias)
     return pl.pallas_call(
         functools.partial(_kernel, block_b=bb, heads=num_heads,
                           head_dim=head_dim,
-                          scale=1.0 / math.sqrt(head_dim)),
+                          scale=1.0 / math.sqrt(head_dim),
+                          has_bias=attn_bias is not None),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=pl.GridSpec(
             grid=(B // bb,),
-            in_specs=[spec, spec, spec,
-                      pl.BlockSpec((bb, 1, S), lambda b: (b, 0, 0),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=spec,
         ),
+        compiler_params=pltpu.CompilerParams(**_VMEM_PARAMS),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * S * S * head_dim,
             transcendentals=B * num_heads * S * S,
@@ -168,7 +193,7 @@ def _attn_local(q, k, v, mask, num_heads: int):
         # CPU (tests): run the kernel in the Pallas interpreter so the fused
         # path is coverable without Mosaic
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, mask.astype(jnp.int32)[:, None, :])
+    )(*operands)
 
 
 # --------------------------------------------------------------------------- #
@@ -470,15 +495,18 @@ def encoder_attention(
     v: jnp.ndarray,
     mask: jnp.ndarray,
     num_heads: int,
+    attn_bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Bidirectional (encoder) attention, whole sequence per VMEM tile.
 
     q, k, v: [B, S, D] in natural (projection-output) layout; mask: [B, S]
-    (1 = attend, shared across heads).  Returns [B, S, D] context in
-    q.dtype.
+    (1 = attend, shared across heads); attn_bias: optional batch-invariant
+    additive [H, S, S] scores bias (ALiBi slopes / T5 relative positions),
+    replicated across the mesh.  Returns [B, S, D] context in q.dtype.
     """
     n_dev = len(jax.devices())
     local = functools.partial(_attn_local, num_heads=num_heads)
+    extra = () if attn_bias is None else (attn_bias,)
     if n_dev > 1 and q.shape[0] % n_dev == 0:
         # partition the embarrassingly-parallel batch grid over the mesh;
         # matches the batch sharding convention of dense.py / crossencoder.py
@@ -488,10 +516,11 @@ def encoder_attention(
         mesh = get_mesh()
         axes = tuple(mesh.axis_names)
         bspec = P(axes, None, None)
+        bias_specs = () if attn_bias is None else (P(None, None, None),)
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(bspec, bspec, bspec, P(axes, None)),
+            in_specs=(bspec, bspec, bspec, P(axes, None), *bias_specs),
             out_specs=bspec, check_vma=False,
         )
-        return fn(q, k, v, mask)
-    return local(q, k, v, mask)
+        return fn(q, k, v, mask, *extra)
+    return local(q, k, v, mask, *extra)

@@ -104,3 +104,33 @@ def test_fused_attention_block_matches_einsum_encode():
         core.USE_FLASH_ENCODER = None
     valid = am.astype(bool)
     np.testing.assert_allclose(out[valid], ref[valid], atol=2e-4, rtol=1e-3)
+
+
+def test_fused_attention_alibi_bias_matches_einsum():
+    """jina-style ALiBi encoders: the [H, S, S] additive bias rides the
+    fused kernel as a VMEM-constant block."""
+    from bergen_tpu.models import bert, core
+
+    cfg = bert.BertConfig(
+        vocab_size=300, hidden_size=128, num_layers=2, num_heads=4,
+        intermediate_size=256, max_position_embeddings=256,
+        position_embedding_type="alibi",
+    )
+    params = bert.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    B, S = 16, 160
+    ids = rng.integers(3, 300, (B, S)).astype(np.int32)
+    am = np.ones((B, S), np.int32)
+    am[0, 120:] = 0
+    ids = np.where(am, ids, 0)
+
+    core.USE_FLASH_ENCODER = False
+    ref = np.asarray(bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    core.USE_FLASH_ENCODER = True
+    try:
+        out = np.asarray(
+            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    finally:
+        core.USE_FLASH_ENCODER = None
+    valid = am.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=2e-4, rtol=1e-3)
