@@ -190,7 +190,6 @@ def bench_generate(on_tpu):
     int8-MXU weights (the reference quantizes small models to 4-bit via
     bitsandbytes — multidomain.md:27 — so quantized-vs-quantized is the
     like-for-like comparison)."""
-    import copy
     import jax
     import jax.numpy as jnp
 

@@ -277,7 +277,7 @@ def encode(
 
         use_layer = (
             ea.layer_act_supported(cfg.hidden_act, cfg.mlp_gated)
-            and ea.layer_weights_fit(cfg.hidden_size, cfg.intermediate_size)
+            and ea.layer_weights_fit(cfg.hidden_size, cfg.intermediate_size, S)
         )
     for layer in params["layers"]:
         if use_layer:

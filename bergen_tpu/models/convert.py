@@ -392,7 +392,8 @@ def to_device_tree(params, dtype=jnp.bfloat16, norm_keys=("ln", "scale", "bias",
         if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.integer):
             return jnp.asarray(leaf)  # quantized int weights stay int
         names = {getattr(k, "key", getattr(k, "idx", None)) for k in path}
-        keep_fp32 = names & set(norm_keys) | ({"kernel_scale"} & names)
+        keep_fp32 = names & set(norm_keys) | (
+            {"kernel_scale", "kernel_scale_a8", "kernel_scale4"} & names)
         target = jnp.float32 if keep_fp32 else dtype
         return jnp.asarray(leaf, dtype=target)
 

@@ -430,8 +430,14 @@ def layer_act_supported(act: str, mlp_gated: bool) -> bool:
     return not mlp_gated and act in _KERNEL_ACTS
 
 
-def layer_weights_fit(D: int, I: int, itemsize: int = 2) -> bool:
-    return (3 * D * D + D * D + 2 * D * I) * itemsize <= MAX_LAYER_WEIGHT_BYTES
+def layer_weights_fit(D: int, I: int, S: int = 0, itemsize: int = 2) -> bool:
+    """Whole-layer kernel VMEM budget: resident weights plus the
+    S-dependent fp32 activation scratch ([S, 3D] qkv, [S, I] FFN hidden,
+    [S, S] score tile, [S, D] residual/LN intermediates and the bf16
+    copies) must stay under the raised 64 MB scoped limit with headroom."""
+    weights = (3 * D * D + D * D + 2 * D * I) * itemsize
+    scratch = S * (3 * D + I + S + 4 * D) * 4 + S * (3 * D + I) * itemsize
+    return weights + scratch <= MAX_LAYER_WEIGHT_BYTES
 
 
 def encoder_layer(

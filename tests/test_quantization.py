@@ -162,3 +162,29 @@ def test_generator_w8a8_flag(tmp_path):
     assert "kernel_scale_a8" in leaf and leaf["kernel_q"].dtype == jnp.int8
     out = gen.generate(["what is the capital of avaria"])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_device_tree_keeps_quant_scales_fp32():
+    """to_device_tree must not downcast per-channel quant scales to bf16
+    (on TPU everything else goes bf16; scales carry the precision)."""
+    import copy
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=256, num_layers=1, num_heads=4,
+        num_kv_heads=2, intermediate_size=512, max_position_embeddings=128,
+    )
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    for mxu in (False, True):
+        q = copy.deepcopy(params)
+        convert.quantize_tree_int8(q, min_size=1, mxu=mxu)
+        dev = convert.to_device_tree(q, dtype=jnp.bfloat16)
+        leaf = dev["layers"][0]["attn"]["q"]
+        key = "kernel_scale_a8" if mxu else "kernel_scale"
+        assert leaf[key].dtype == jnp.float32
+        assert leaf["kernel_q"].dtype == jnp.int8
+
+    q4 = copy.deepcopy(params)
+    convert.quantize_tree_int4(q4, min_size=1)
+    dev4 = convert.to_device_tree(q4, dtype=jnp.bfloat16)
+    leaf4 = dev4["layers"][0]["attn"]["q"]
+    assert leaf4["kernel_scale4"].dtype == jnp.float32
