@@ -163,12 +163,39 @@ def _ffn(p: Params, cfg: T5Config, x):
 
 
 def encode(params: Params, cfg: T5Config, input_ids, attention_mask):
+    from bergen_tpu.models import core
+
     x = jnp.take(params["shared"], input_ids, axis=0)
-    S = input_ids.shape[1]
+    B, S = input_ids.shape
     pos = jnp.arange(S)
     bias = position_bias(
         params["encoder"]["rel_emb"], pos, pos, True, cfg
     )  # [1, H, S, S]
+    # fused whole-seq attention kernel (scores stay in VMEM) for TPU: the
+    # relative-position bias is batch-invariant, so it rides as a VMEM
+    # constant and the [B, S] mask goes in separately; T5 scores are
+    # UNSCALED (scale=1.0).  See ops/encoder_attention.py.
+    fused = (
+        cfg.d_model == cfg.num_heads * cfg.d_kv
+        and core._encoder_fused(B, S, cfg.num_heads, cfg.d_kv,
+                                attention_mask.ndim, has_bias=True)
+    )
+    if fused:
+        from bergen_tpu.ops.encoder_attention import encoder_attention
+
+        pos_b = bias[0]  # [H, S, S]
+        for layer in params["encoder"]["layers"]:
+            h = rmsnorm(layer["ln0"], x, cfg.layer_norm_epsilon)
+            p = layer["attn"]
+            ctx = encoder_attention(
+                _lin(p["q"], h), _lin(p["k"], h), _lin(p["v"], h),
+                attention_mask, cfg.num_heads, attn_bias=pos_b, scale=1.0,
+            )
+            x = x + _lin(p["o"], ctx)
+            h = rmsnorm(layer["ln1"], x, cfg.layer_norm_epsilon)
+            x = x + _ffn(layer["ffn"], cfg, h)
+        return rmsnorm(params["encoder"]["final_ln"], x,
+                       cfg.layer_norm_epsilon)
     mask_bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)
     bias = bias + mask_bias
     for layer in params["encoder"]["layers"]:

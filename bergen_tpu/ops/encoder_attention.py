@@ -155,10 +155,12 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, *rest,
                 outs, axis=1).astype(o_ref.dtype)
 
 
-def _attn_local(q, k, v, mask, *rest, num_heads: int):
+def _attn_local(q, k, v, mask, *rest, num_heads: int,
+                scale: float | None = None):
     """Pallas attention on local (per-shard) arrays. q/k/v: [B, S, D];
     optional trailing arg: additive [H, S, S] bias (batch-invariant —
-    ALiBi slopes, T5 relative-position buckets)."""
+    ALiBi slopes, T5 relative-position buckets).  scale defaults to
+    1/sqrt(head_dim); T5 passes 1.0 (its scores are unscaled)."""
     attn_bias = rest[0] if rest else None
     B, S, D = q.shape
     head_dim = D // num_heads
@@ -176,7 +178,8 @@ def _attn_local(q, k, v, mask, *rest, num_heads: int):
     return pl.pallas_call(
         functools.partial(_kernel, block_b=bb, heads=num_heads,
                           head_dim=head_dim,
-                          scale=1.0 / math.sqrt(head_dim),
+                          scale=(1.0 / math.sqrt(head_dim)
+                                 if scale is None else scale),
                           has_bias=attn_bias is not None),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=pl.GridSpec(
@@ -502,16 +505,19 @@ def encoder_attention(
     mask: jnp.ndarray,
     num_heads: int,
     attn_bias: jnp.ndarray | None = None,
+    scale: float | None = None,
 ) -> jnp.ndarray:
     """Bidirectional (encoder) attention, whole sequence per VMEM tile.
 
     q, k, v: [B, S, D] in natural (projection-output) layout; mask: [B, S]
     (1 = attend, shared across heads); attn_bias: optional batch-invariant
     additive [H, S, S] scores bias (ALiBi slopes / T5 relative positions),
-    replicated across the mesh.  Returns [B, S, D] context in q.dtype.
+    replicated across the mesh; scale: score scale, default
+    1/sqrt(head_dim) (T5 passes 1.0).  Returns [B, S, D] context in
+    q.dtype.
     """
     n_dev = len(jax.devices())
-    local = functools.partial(_attn_local, num_heads=num_heads)
+    local = functools.partial(_attn_local, num_heads=num_heads, scale=scale)
     extra = () if attn_bias is None else (attn_bias,)
     if n_dev > 1 and q.shape[0] % n_dev == 0:
         # partition the embarrassingly-parallel batch grid over the mesh;

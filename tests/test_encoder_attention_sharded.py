@@ -134,3 +134,40 @@ def test_fused_attention_alibi_bias_matches_einsum():
         core.USE_FLASH_ENCODER = None
     valid = am.astype(bool)
     np.testing.assert_allclose(out[valid], ref[valid], atol=2e-4, rtol=1e-3)
+
+
+def test_fused_t5_encoder_matches_einsum():
+    """T5's unscaled scores + relative-position bias on the fused kernel."""
+    import torch
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from bergen_tpu.models import core, t5
+
+    torch.manual_seed(4)
+    hf_cfg = HFT5Config(
+        vocab_size=200, d_model=128, d_kv=32, d_ff=256, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, feed_forward_proj="relu",
+        decoder_start_token_id=0,
+    )
+    model = T5ForConditionalGeneration(hf_cfg).eval()
+    cfg = t5.T5Config.from_hf(hf_cfg)
+    params = t5.t5_from_hf(model.state_dict(), cfg)
+    rng = np.random.default_rng(4)
+    B, S = 16, 160
+    ids = rng.integers(3, 200, (B, S)).astype(np.int32)
+    am = np.ones((B, S), np.int32)
+    am[1, 80:] = 0
+    ids = np.where(am, ids, 0)
+
+    core.USE_FLASH_ENCODER = False
+    ref = np.asarray(t5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    core.USE_FLASH_ENCODER = True
+    try:
+        out = np.asarray(
+            t5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    finally:
+        core.USE_FLASH_ENCODER = None
+    valid = am.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=2e-4, rtol=1e-3)
