@@ -184,23 +184,21 @@ def encode(params: Params, cfg: T5Config, input_ids, attention_mask):
         from bergen_tpu.ops.encoder_attention import encoder_attention
 
         pos_b = bias[0]  # [H, S, S]
-        for layer in params["encoder"]["layers"]:
-            h = rmsnorm(layer["ln0"], x, cfg.layer_norm_epsilon)
+    else:
+        mask_bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)
+        bias = bias + mask_bias
+    for layer in params["encoder"]["layers"]:
+        h = rmsnorm(layer["ln0"], x, cfg.layer_norm_epsilon)
+        if fused:
             p = layer["attn"]
             ctx = encoder_attention(
                 _lin(p["q"], h), _lin(p["k"], h), _lin(p["v"], h),
                 attention_mask, cfg.num_heads, attn_bias=pos_b, scale=1.0,
             )
             x = x + _lin(p["o"], ctx)
-            h = rmsnorm(layer["ln1"], x, cfg.layer_norm_epsilon)
-            x = x + _ffn(layer["ffn"], cfg, h)
-        return rmsnorm(params["encoder"]["final_ln"], x,
-                       cfg.layer_norm_epsilon)
-    mask_bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)
-    bias = bias + mask_bias
-    for layer in params["encoder"]["layers"]:
-        h = rmsnorm(layer["ln0"], x, cfg.layer_norm_epsilon)
-        x = x + _attention(layer["attn"], cfg, h, h, bias)
+        else:
+            x = x + _attention(layer["attn"], cfg, h, h, bias)
         h = rmsnorm(layer["ln1"], x, cfg.layer_norm_epsilon)
         x = x + _ffn(layer["ffn"], cfg, h)
     return rmsnorm(params["encoder"]["final_ln"], x, cfg.layer_norm_epsilon)

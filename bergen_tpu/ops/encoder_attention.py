@@ -215,10 +215,11 @@ def _attn_local(q, k, v, mask, *rest, num_heads: int,
 # Measured iso (B=256/S=192/H=12, v5e): 4.48 ms vs 9.15 ms XLA per layer;
 # attention-block-only fusion measured 2.00 vs 5.05 ms for its sub-block.
 
-# Weight bytes cap for keeping a whole layer resident in VMEM (bert-large
-# at D=1024/I=4096 is ~25 MB; leave headroom under the 64 MB scoped limit
-# requested below).
-MAX_LAYER_WEIGHT_BYTES = 48 * 1024 * 1024
+# VMEM budget for the whole-layer kernel: resident weights PLUS the
+# S-dependent activation scratch (see layer_weights_fit) must stay under
+# this, leaving headroom below the 64 MB scoped limit requested below
+# (bert-large at D=1024/I=4096 is ~25 MB of weights).
+MAX_LAYER_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
 
 
 def _erf(x):
@@ -440,7 +441,7 @@ def layer_weights_fit(D: int, I: int, S: int = 0, itemsize: int = 2) -> bool:
     copies) must stay under the raised 64 MB scoped limit with headroom."""
     weights = (3 * D * D + D * D + 2 * D * I) * itemsize
     scratch = S * (3 * D + I + S + 4 * D) * 4 + S * (3 * D + I) * itemsize
-    return weights + scratch <= MAX_LAYER_WEIGHT_BYTES
+    return weights + scratch <= MAX_LAYER_VMEM_BUDGET_BYTES
 
 
 def encoder_layer(

@@ -94,10 +94,11 @@ def test_fused_attention_block_matches_einsum_encode():
     am[2, 40:] = 0
     ids = np.where(am, ids, 0)
 
-    core.USE_FLASH_ENCODER = False
-    ref = np.asarray(bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
-    core.USE_FLASH_ENCODER = True
     try:
+        core.USE_FLASH_ENCODER = False
+        ref = np.asarray(
+            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+        core.USE_FLASH_ENCODER = True
         out = np.asarray(
             bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
     finally:
@@ -124,10 +125,11 @@ def test_fused_attention_alibi_bias_matches_einsum():
     am[0, 120:] = 0
     ids = np.where(am, ids, 0)
 
-    core.USE_FLASH_ENCODER = False
-    ref = np.asarray(bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
-    core.USE_FLASH_ENCODER = True
     try:
+        core.USE_FLASH_ENCODER = False
+        ref = np.asarray(
+            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+        core.USE_FLASH_ENCODER = True
         out = np.asarray(
             bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
     finally:
@@ -161,10 +163,11 @@ def test_fused_t5_encoder_matches_einsum():
     am[1, 80:] = 0
     ids = np.where(am, ids, 0)
 
-    core.USE_FLASH_ENCODER = False
-    ref = np.asarray(t5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
-    core.USE_FLASH_ENCODER = True
     try:
+        core.USE_FLASH_ENCODER = False
+        ref = np.asarray(
+            t5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+        core.USE_FLASH_ENCODER = True
         out = np.asarray(
             t5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
     finally:

@@ -23,13 +23,13 @@ def test_encoder_flash_matches_einsum():
     am[2, 40:] = 0
     ids = np.where(am, ids, 0)
 
-    core.USE_FLASH_ENCODER = False
-    ref = np.asarray(bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
-    core.USE_FLASH_ENCODER = True
     try:
+        core.USE_FLASH_ENCODER = False
+        ref = np.asarray(
+            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+        core.USE_FLASH_ENCODER = True
         out = np.asarray(
-            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am))
-        )
+            bert.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
     finally:
         core.USE_FLASH_ENCODER = None
     valid = am.astype(bool)
