@@ -212,7 +212,7 @@ def bench_generate(on_tpu):
     params = llama.init(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
     if on_tpu:
-        convert.quantize_tree_int8(params, mxu=True)
+        params = convert.quantize_tree_int8(params, mxu=True)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
     am = jnp.ones((B, S), jnp.int32)

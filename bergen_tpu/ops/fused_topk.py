@@ -15,8 +15,11 @@ bin-argmax reduction in hardware): two true top-k docs landing in the same
 128-doc bin lose one candidate.  For k=50 over 1M docs (8192 bins) the
 expected top-50 overlap is ~0.997 (measured 0.9969 on-chip vs the exact int8
 ranking); the pipeline's approx-recall guard (``pipeline/retrieve.py``)
-dual-runs the first batch against the exact path on every run, so fidelity is
-verified on the live embedding distribution, never assumed.
+dual-runs periodic query batches against a **host fp32 exact** reference on
+every run — the original unquantized embeddings, so both the bin-argmax loss
+and the int8/bin quantization error are measured on the live distribution,
+never assumed, and a guard trip walks a fallback ladder (exact-over-codes,
+then unquantized exact).
 
 Replaces the hot loop of reference ``modules/retrieve.py:147-185``
 (per-chunk ``torch.mm`` + ``torch.topk``).

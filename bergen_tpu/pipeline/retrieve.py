@@ -28,6 +28,46 @@ from bergen_tpu.parallel import get_mesh
 
 CHUNK_DOCS = 150_000  # shard granularity on disk (reference retrieve.py:111)
 
+GUARD_MAX_Q = 64   # queries per fidelity probe (bounds the host GEMM cost)
+GUARD_EVERY = 16   # re-check period in query batches (batch 0 always checked)
+
+
+def _host_exact_topk(q: np.ndarray, d_emb: np.ndarray, k: int,
+                     block: int = 1 << 18):
+    """fp32 ground-truth top-k on the host (BLAS), independent of every
+    device-side approximation — bin-argmax, approx_max_k, AND int8/bin
+    quantization.  The recall guard's previous reference ran over the same
+    quantized codes as the kernel under test, which made quantization error
+    invisible (advisor r2); scoring the original fp32 embeddings here makes
+    the measured overlap a true end-to-end fidelity number."""
+    q = np.asarray(q, np.float32)
+    k = min(k, d_emb.shape[0])
+    run_v = np.full((q.shape[0], 0), -np.inf, np.float32)
+    run_i = np.zeros((q.shape[0], 0), np.int64)
+    for s in range(0, d_emb.shape[0], block):
+        scores = q @ d_emb[s : s + block].astype(np.float32).T
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        run_v = np.concatenate(
+            [run_v, np.take_along_axis(scores, part, axis=1)], axis=1
+        )
+        run_i = np.concatenate([run_i, part + s], axis=1)
+        if run_v.shape[1] > k:
+            sel = np.argpartition(-run_v, k - 1, axis=1)[:, :k]
+            run_v = np.take_along_axis(run_v, sel, axis=1)
+            run_i = np.take_along_axis(run_i, sel, axis=1)
+    order = np.argsort(-run_v, axis=1)
+    return np.take_along_axis(run_v, order, axis=1), np.take_along_axis(
+        run_i, order, axis=1
+    )
+
+
+def _topk_overlap(approx_idx: np.ndarray, exact_idx: np.ndarray, k: int) -> float:
+    return float(np.mean([
+        len(set(approx_idx[r]) & set(exact_idx[r])) / max(1, k)
+        for r in range(approx_idx.shape[0])
+    ]))
+
 
 class Retrieve:
     def __init__(
@@ -223,6 +263,20 @@ class Retrieve:
             from bergen_tpu.ops import fused_topk
 
             d_emb = self.load_index(doc_index_path, len(docs))
+            if method == "fused" and not fused_topk.supports(
+                d_emb.shape[1], corpus_dtype
+            ):
+                # forcing fused with a geometry outside the kernel's VMEM
+                # budget would die at Mosaic compile time — warn and let the
+                # auto selection pick a path that fits (advisor r2)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "topk_method=fused forced but D=%d %s exceeds the fused "
+                    "kernel's VMEM budget — falling back to auto",
+                    d_emb.shape[1], np.dtype(corpus_dtype).name,
+                )
+                method = "auto"
             use_fused = method == "fused" or (
                 method == "auto" and on_tpu and len(docs) >= (1 << 17)
                 and fused_topk.supports(d_emb.shape[1], corpus_dtype)
@@ -252,72 +306,105 @@ class Retrieve:
                 dscales_dev = None
 
         k = min(top_k, valid_n)
+
+        def score_batch(q_np, method):
+            """One device-side scored batch under the current method."""
+            if method == "fused":
+                q = jnp.asarray(q_np, jnp.float32)
+                # off-TPU the Mosaic kernel runs interpreted — only viable
+                # for test-sized corpora ('auto' never selects fused off-TPU;
+                # this keeps topk_method=fused drivable in CPU tests)
+                return fused_topk.sharded_bin_topk(
+                    mesh, q, corpus_dev, k, valid_n=valid_n,
+                    doc_scales=dscales_dev, interpret=not on_tpu,
+                )
+            if method == "exact_rows":
+                q = jnp.asarray(q_np, jnp.float32)
+                return fused_topk.sharded_exact_topk_rows(
+                    mesh, q, corpus_dev, k, valid_n=valid_n,
+                    doc_scales=exact_scales_dev,
+                )
+            q = jnp.asarray(q_np, jnp.float32 if int8_scoring else dtype)
+            return scoring.sharded_topk(
+                mesh, q, corpus_dev, k, valid_n=valid_n,
+                doc_scales=dscales_dev, method=method,
+            )
+
+        # The recall guard dual-runs a probe subset of periodic query batches
+        # against a host fp32 exact reference (the ORIGINAL embeddings, so
+        # bin-argmax loss AND quantization error are both measured — advisor
+        # r2).  Engaged whenever the device path is approximate or quantized.
+        fidelity: list[dict] = []
+        guard_live = not sparse and (
+            method == "fused" or int8_scoring
+            or (on_tpu and method in ("auto", "approx"))
+        )
+
         all_vals, all_idx = [], []
         for bi, s in enumerate(range(0, q_emb.shape[0], self.batch_size_sim)):
+            q_np = q_emb[s : s + self.batch_size_sim]
             if sparse:
-                q = jnp.asarray(q_emb[s : s + self.batch_size_sim], dtype=dtype)
+                q = jnp.asarray(q_np, dtype=dtype)
                 vals, idxs = sparse_ops.sharded_sparse_topk(
                     mesh, q, vals_dev, idx_dev, k, vocab, valid_n=valid_n
                 )
             else:
-                q_np = q_emb[s : s + self.batch_size_sim]
-                dsc = dscales_dev
-                if method == "fused":
-                    q = jnp.asarray(q_np, jnp.float32)
-                    # off-TPU the Mosaic kernel runs interpreted — only
-                    # viable for test-sized corpora ('auto' never selects
-                    # fused off-TPU; this keeps topk_method=fused drivable
-                    # in CPU tests)
-                    vals, idxs = fused_topk.sharded_bin_topk(
-                        mesh, q, corpus_dev, k, valid_n=valid_n,
-                        doc_scales=dsc, interpret=not on_tpu,
+                vals, idxs = score_batch(q_np, method)
+                if guard_live and bi % GUARD_EVERY == 0:
+                    nq = min(GUARD_MAX_Q, q_np.shape[0])
+                    _, ref_idx = _host_exact_topk(q_np[:nq], d_emb, k)
+                    overlap = _topk_overlap(np.asarray(idxs)[:nq], ref_idx, k)
+                    fidelity.append(
+                        {"batch": bi, "method": method, "overlap": overlap}
                     )
-                elif method == "exact_rows":
-                    q = jnp.asarray(q_np, jnp.float32)
-                    vals, idxs = fused_topk.sharded_exact_topk_rows(
-                        mesh, q, corpus_dev, k, valid_n=valid_n,
-                        doc_scales=exact_scales_dev,
-                    )
-                else:
-                    q = jnp.asarray(
-                        q_np, jnp.float32 if int8_scoring else dtype
-                    )
-                    vals, idxs = scoring.sharded_topk(
-                        mesh, q, corpus_dev, k, valid_n=valid_n,
-                        doc_scales=dsc, method=method,
-                    )
-                if bi == 0 and method not in ("exact", "exact_rows") and on_tpu:
-                    # approx-recall guard (measured on REAL embeddings, not
-                    # Gaussians): dual-run the first batch exactly; if the
-                    # approx/fused top-k overlap is below the guard, fall
-                    # back to exact for the whole run
-                    if method == "fused":
-                        ev, ei = fused_topk.sharded_exact_topk_rows(
-                            mesh, q, corpus_dev, k, valid_n=valid_n,
-                            doc_scales=exact_scales_dev,
-                        )
-                    else:
-                        ev, ei = scoring.sharded_topk(
-                            mesh, q, corpus_dev, k, valid_n=valid_n,
-                            doc_scales=dsc, method="exact",
-                        )
-                    ai, ei_np = np.asarray(idxs), np.asarray(ei)
-                    overlap = np.mean([
-                        len(set(ai[r]) & set(ei_np[r])) / max(1, k)
-                        for r in range(ai.shape[0])
-                    ])
                     if overlap < self.approx_recall_guard:
                         import logging
 
-                        logging.getLogger(__name__).warning(
-                            "%s top-k overlap %.4f < guard %.2f — "
-                            "switching to exact top-k for this run",
-                            method, overlap, self.approx_recall_guard,
-                        )
-                        method = (
-                            "exact_rows" if method == "fused" else "exact"
-                        )
-                        vals, idxs = ev, ei
+                        log = logging.getLogger(__name__)
+                        if method not in ("exact", "exact_rows"):
+                            # rung 1: exact top-k over the same (possibly
+                            # quantized) codes — recovers bin-argmax/approx
+                            # loss
+                            fb = "exact_rows" if method == "fused" else "exact"
+                            log.warning(
+                                "%s top-k vs fp32 host overlap %.4f < guard "
+                                "%.2f — retrying with %s", method, overlap,
+                                self.approx_recall_guard, fb,
+                            )
+                            method = fb
+                            vals, idxs = score_batch(q_np, method)
+                            overlap = _topk_overlap(
+                                np.asarray(idxs)[:nq], ref_idx, k
+                            )
+                            fidelity.append({
+                                "batch": bi, "method": method,
+                                "overlap": overlap,
+                            })
+                        if overlap < self.approx_recall_guard and int8_scoring:
+                            # ladder rung 2: quantization itself is at fault
+                            # (e.g. dot-product retriever with wildly
+                            # non-uniform row norms) — re-shard unquantized
+                            log.warning(
+                                "exact int8 overlap %.4f still < guard — "
+                                "re-sharding corpus unquantized (%s exact)",
+                                overlap, np.dtype(dtype).name,
+                            )
+                            int8_scoring = False
+                            corpus_dev, valid_n = scoring.shard_corpus(
+                                mesh, d_emb, dtype=dtype
+                            )
+                            dscales_dev = None
+                            method = "exact"
+                            vals, idxs = score_batch(q_np, method)
+                            overlap = _topk_overlap(
+                                np.asarray(idxs)[:nq], ref_idx, k
+                            )
+                            fidelity.append({
+                                "batch": bi, "method": "exact_" +
+                                np.dtype(dtype).name, "overlap": overlap,
+                            })
+                        guard_live = method not in ("exact", "exact_rows") \
+                            or int8_scoring
             all_vals.append(np.asarray(vals))
             all_idx.append(np.asarray(idxs))
         vals = np.concatenate(all_vals, axis=0)
@@ -329,6 +416,8 @@ class Retrieve:
             "doc_id": [[doc_id_col[j] for j in row] for row in idxs],
             "score": vals,
         }
+        if fidelity:
+            out["fidelity"] = fidelity
         if return_embeddings:
             out["q_embs"] = q_emb
             out["doc_embs"] = (d_vals, d_idx) if sparse else d_emb

@@ -263,6 +263,14 @@ class RAG:
             query_ids, doc_ids, scores = out["q_id"], out["doc_id"], out["score"]
             scores = scores.tolist() if hasattr(scores, "tolist") else scores
             utils.write_trec(ranking_file, query_ids, doc_ids, scores)
+            if "fidelity" in out:
+                # every approximate/quantized run documents its own measured
+                # approximation error (top-k overlap vs host fp32 exact)
+                with open(os.path.join(
+                    self.experiment_folder,
+                    f"eval_{dataset_split}_retrieval_fidelity.json",
+                ), "w") as f:
+                    json.dump(out["fidelity"], f, indent=2)
         else:
             query_ids, doc_ids, scores = utils.load_trec(ranking_file)
         shutil.copyfile(

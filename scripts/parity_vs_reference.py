@@ -163,7 +163,10 @@ def main():
 
     overlaps, rank1 = agreement(ref_i, new_i)
     ctl_overlaps, ctl_rank1 = agreement(ref_i, ctl_i)
-    # compare scores of the REFERENCE's top-k docs under both engines
+    # positional top-k score MAE: rank-r score under each engine's OWN
+    # ranking. When rankings differ this mixes different documents' scores —
+    # it bounds (not equals) the per-document score error, which the
+    # overlap/rank1 rows already characterise.
     mae = float(np.mean(np.abs(ref_v[:, :k] - new_v[:, :k])))
     rel = mae / float(np.mean(np.abs(ref_v[:, :k])) + 1e-12)
     summary = {
