@@ -50,6 +50,8 @@ class LLM(Generator):
         num_beams: int | None = None,  # alias for best_of w/ beam search
         length_penalty: float = 1.0,
         seed: int = 0,
+        dtype: str | None = None,  # 'f32'/'bf16' force; None = bf16 on TPU,
+        # f32 elsewhere. f32-on-TPU exists for cross-backend parity checks.
         **_ignored,
     ):
         super().__init__(
@@ -74,7 +76,11 @@ class LLM(Generator):
         self.cfg = llama.LlamaConfig.from_hf(hf_cfg)
 
         on_tpu = jax.default_backend() == "tpu"
-        self.dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        if dtype is not None:
+            self.dtype = {"f32": jnp.float32, "float32": jnp.float32,
+                          "bf16": jnp.bfloat16}[dtype]
+        else:
+            self.dtype = jnp.bfloat16 if on_tpu else jnp.float32
         hf_model = AutoModelForCausalLM.from_pretrained(model_name, **_load_kw)
         params = convert.llama_from_hf(hf_model.state_dict(), self.cfg.num_layers)
         del hf_model

@@ -20,7 +20,8 @@ from bergen_tpu.parallel.mesh import pad_batch_to_devices
 
 
 class CrossEncoder:
-    def __init__(self, model_name: str = None, max_len: int = 512):
+    def __init__(self, model_name: str = None, max_len: int = 512,
+                 dtype: str | None = None):
         from transformers import (
             AutoConfig, AutoModelForSequenceClassification, AutoTokenizer,
         )
@@ -31,7 +32,12 @@ class CrossEncoder:
         hf_cfg = AutoConfig.from_pretrained(model_name)
 
         on_tpu = jax.default_backend() == "tpu"
-        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        if dtype is not None:
+            # f32-on-TPU exists for cross-backend parity checks
+            dtype = {"f32": jnp.float32, "float32": jnp.float32,
+                     "bf16": jnp.bfloat16}[dtype]
+        else:
+            dtype = jnp.bfloat16 if on_tpu else jnp.float32
         hf_model = AutoModelForSequenceClassification.from_pretrained(model_name)
 
         # architecture dispatch: deberta-v2/v3 (the reference's default

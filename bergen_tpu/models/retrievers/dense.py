@@ -61,6 +61,8 @@ class DenseRetriever(Retriever):
         prompt_d: str | None = None,
         query_encoder_name: str | None = None,
         batch_size: int = 128,
+        dtype: str | None = None,  # 'f32'/'bf16' force; None = bf16 on TPU.
+        # f32-on-TPU exists for cross-backend parity checks.
     ):
         from transformers import AutoTokenizer
 
@@ -81,7 +83,11 @@ class DenseRetriever(Retriever):
         self._dim = self.cfg.hidden_size
 
         on_tpu = jax.default_backend() == "tpu"
-        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        if dtype is not None:
+            dtype = {"f32": jnp.float32, "float32": jnp.float32,
+                     "bf16": jnp.bfloat16}[dtype]
+        else:
+            dtype = jnp.bfloat16 if on_tpu else jnp.float32
         self.params = convert.to_device_tree(
             convert.bert_from_hf(state_dict, self.cfg.num_layers),
             dtype=dtype,

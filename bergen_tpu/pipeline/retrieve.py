@@ -81,6 +81,9 @@ class Retrieve:
         scoring_dtype: str = "auto",
         topk_method: str = "auto",          # auto | exact | approx
         approx_recall_guard: float = 0.97,  # min measured top-k overlap
+        sparse_method: str = "auto",        # auto | exact | sketch
+        sketch_d: int = 1024,
+        sketch_candidates: int = 512,
     ):
         self.model = model if model is not None else confy.instantiate(
             init_args, batch_size=batch_size
@@ -102,6 +105,15 @@ class Retrieve:
             raise ValueError(f"unknown topk_method {topk_method!r}")
         self.topk_method = topk_method
         self.approx_recall_guard = approx_recall_guard
+        # sparse (SPLADE) scoring engine: 'exact' = densify+GEMM
+        # (ops/sparse.py, int8 when scoring_dtype=int8), 'sketch' =
+        # count-sketch candidates + exact rescoring (ops/sparse_sketch.py);
+        # 'auto' picks sketch on TPU for large corpora, guarded.
+        if sparse_method not in ("auto", "exact", "sketch"):
+            raise ValueError(f"unknown sparse_method {sparse_method!r}")
+        self.sparse_method = sparse_method
+        self.sketch_d = sketch_d
+        self.sketch_candidates = sketch_candidates
 
     # ------------------------------------------------------------------ #
     # indexing
@@ -255,10 +267,45 @@ class Retrieve:
             from bergen_tpu.ops import sparse as sparse_ops
 
             d_vals, d_idx = self.load_sparse_index(doc_index_path, len(docs))
-            vals_dev, idx_dev, valid_n = sparse_ops.shard_sparse_corpus(
-                mesh, d_vals, d_idx, dtype=dtype
-            )
             vocab = q_emb.shape[1]
+            # the bf16 fixed-width rows are always resident: the exact
+            # scoring path, the sketch path's rescoring stage, and the
+            # recall guard's reference all share them
+            vals_dev, idx_dev, valid_n = sparse_ops.shard_sparse_corpus(
+                mesh, d_vals, d_idx,
+                dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            )
+            codes_dev = scales_dev = None
+            if int8_scoring:
+                codes, scales = sparse_ops.quantize_sparse_int8(d_vals)
+                Np = vals_dev.shape[0]
+                codes = np.pad(codes, ((0, Np - len(codes)), (0, 0)))
+                scales = np.pad(scales, (0, Np - len(scales)))
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                codes_dev = __import__("jax").device_put(
+                    jnp.asarray(codes), NamedSharding(mesh, P("data", None))
+                )
+                scales_dev = __import__("jax").device_put(
+                    jnp.asarray(scales, jnp.float32),
+                    NamedSharding(mesh, P("data")),
+                )
+            use_sketch = self.sparse_method == "sketch" or (
+                self.sparse_method == "auto" and on_tpu
+                and len(docs) >= (1 << 17)
+            )
+            sketch_index = None
+            if use_sketch:
+                from bergen_tpu.ops.sparse_sketch import SketchIndex
+
+                sketch_index = SketchIndex(
+                    mesh, d_vals, d_idx, vocab, d=self.sketch_d,
+                    candidates=self.sketch_candidates,
+                    cache_path=os.path.join(
+                        doc_index_path, f"sketch_{self.sketch_d}.npy"
+                    ),
+                    vals_dev=vals_dev, idx_dev=idx_dev,
+                )
         else:
             from bergen_tpu.ops import fused_topk
 
@@ -340,14 +387,65 @@ class Retrieve:
             or (on_tpu and method in ("auto", "approx"))
         )
 
+        if sparse:
+            smethod = ("sketch" if use_sketch
+                       else "int8" if int8_scoring else "exact")
+            sparse_guard = smethod != "exact"
+
+            def score_sparse(q_np, sm):
+                if sm == "sketch":
+                    return sketch_index.search(q_np, k)
+                if sm == "int8":
+                    return sparse_ops.sharded_sparse_topk(
+                        mesh, jnp.asarray(q_np, jnp.float32), codes_dev,
+                        idx_dev, k, vocab, valid_n=valid_n,
+                        doc_scales=scales_dev,
+                    )
+                return sparse_ops.sharded_sparse_topk(
+                    mesh, jnp.asarray(q_np, vals_dev.dtype), vals_dev,
+                    idx_dev, k, vocab, valid_n=valid_n,
+                )
+
         all_vals, all_idx = [], []
         for bi, s in enumerate(range(0, q_emb.shape[0], self.batch_size_sim)):
             q_np = q_emb[s : s + self.batch_size_sim]
             if sparse:
-                q = jnp.asarray(q_np, dtype=dtype)
-                vals, idxs = sparse_ops.sharded_sparse_topk(
-                    mesh, q, vals_dev, idx_dev, k, vocab, valid_n=valid_n
-                )
+                vals, idxs = score_sparse(q_np, smethod)
+                if sparse_guard and bi % GUARD_EVERY == 0:
+                    # reference = the exact densify path (full-precision
+                    # values); catches sketch recall loss and int8
+                    # quantization error alike
+                    nq = min(GUARD_MAX_Q, q_np.shape[0])
+                    _, ref_idx = score_sparse(q_np[:nq], "exact")
+                    ref_idx = np.asarray(ref_idx)
+                    overlap = _topk_overlap(np.asarray(idxs)[:nq], ref_idx, k)
+                    fidelity.append(
+                        {"batch": bi, "method": smethod, "overlap": overlap}
+                    )
+                    if overlap < self.approx_recall_guard:
+                        import logging
+
+                        fb = ("int8" if smethod == "sketch" and int8_scoring
+                              else "exact")
+                        logging.getLogger(__name__).warning(
+                            "sparse %s top-k overlap %.4f < guard %.2f — "
+                            "falling back to %s", smethod, overlap,
+                            self.approx_recall_guard, fb,
+                        )
+                        smethod = fb
+                        vals, idxs = score_sparse(q_np, smethod)
+                        if smethod != "exact":
+                            overlap = _topk_overlap(
+                                np.asarray(idxs)[:nq], ref_idx, k
+                            )
+                            fidelity.append({
+                                "batch": bi, "method": smethod,
+                                "overlap": overlap,
+                            })
+                            if overlap < self.approx_recall_guard:
+                                smethod = "exact"
+                                vals, idxs = score_sparse(q_np, smethod)
+                        sparse_guard = smethod != "exact"
             else:
                 vals, idxs = score_batch(q_np, method)
                 if guard_live and bi % GUARD_EVERY == 0:

@@ -125,3 +125,131 @@ def test_splade_asymmetric_query_encoder(tmp_path):
     q_sym = sym.encode(texts, "query")
     q_asym = asym.encode(texts, "query")
     assert np.abs(q_sym - q_asym).max() > 1e-3  # different weights, different output
+
+
+def test_sparse_int8_parity(sparse_data):
+    """int8 densify + int8 MXU GEMM matches the bf16 exact ranking on
+    SPLADE-like positive values (round-3: the fast exact path)."""
+    q, docs, V = sparse_data
+    vals, idx = sparse_ops.to_fixed_width(docs, 16)
+    codes, scales = sparse_ops.quantize_sparse_int8(vals)
+    from bergen_tpu.ops.scoring import quantize_rows_int8
+
+    q_i8, q_scale = quantize_rows_int8(jnp.asarray(q))
+    v8, i8 = sparse_ops.sparse_topk_blocked(
+        q_i8, jnp.asarray(codes), jnp.asarray(idx), k=10, vocab=V,
+        block=128, doc_scales=jnp.asarray(scales),
+    )
+    v8 = np.asarray(v8) * np.asarray(q_scale)[:, None]
+    ref = q @ docs.T
+    ref_top = np.sort(ref, axis=1)[:, ::-1][:, :10]
+    # int8 codes: ~1% relative tolerance on scores, high rank overlap
+    np.testing.assert_allclose(v8, ref_top, rtol=0.05, atol=0.05)
+    exact_i = np.argsort(-ref, axis=1)[:, :10]
+    ov = np.mean([
+        len(set(np.asarray(i8)[r]) & set(exact_i[r])) / 10
+        for r in range(q.shape[0])
+    ])
+    assert ov >= 0.9
+
+
+def test_sharded_sparse_int8(sparse_data):
+    q, docs, V = sparse_data
+    vals, idx = sparse_ops.to_fixed_width(docs, 16)
+    mesh = get_mesh()
+    codes_dev, idx_dev, scales_dev, valid_n = sparse_ops.shard_sparse_corpus(
+        mesh, vals, idx, dtype=jnp.int8
+    )
+    v, i = sparse_ops.sharded_sparse_topk(
+        mesh, jnp.asarray(q), codes_dev, idx_dev, 10, V, valid_n=valid_n,
+        doc_scales=scales_dev,
+    )
+    ref = q @ docs.T
+    exact_i = np.argsort(-ref, axis=1)[:, :10]
+    ov = np.mean([
+        len(set(np.asarray(i)[r]) & set(exact_i[r])) / 10
+        for r in range(q.shape[0])
+    ])
+    assert ov >= 0.9
+
+
+def test_sketch_index_rescoring_exact(sparse_data):
+    """SketchIndex stage-2 rescoring is exact sparse math: any candidate's
+    returned score equals the host dot product (sketch only affects WHICH
+    candidates surface, and the pipeline guard measures that)."""
+    from bergen_tpu.ops.sparse_sketch import SketchIndex
+
+    q, docs, V = sparse_data
+    vals, idx = sparse_ops.to_fixed_width(docs, 16)
+    mesh = get_mesh()
+    ski = SketchIndex(mesh, vals, idx, V, d=256, candidates=64)
+    v, i = ski.search(q, 10)
+    v, i = np.asarray(v), np.asarray(i)
+    ref = q @ docs.T
+    for r in range(q.shape[0]):
+        # at this tiny scale each 128-row shard yields ~1 bin candidate, so
+        # fewer than k finite results can come back (-inf padded); the
+        # pipeline guard handles that by falling back — here we check the
+        # invariant that every finite score is the exact sparse dot product
+        ok = np.isfinite(v[r])
+        assert ok.any()
+        np.testing.assert_allclose(
+            v[r][ok], ref[r, i[r][ok]], rtol=0.02, atol=0.02
+        )  # bf16 vals on device
+        vi = i[r][ok]
+        assert len(set(vi)) == len(vi)  # no duplicate docs
+
+
+def test_splade_sketch_pipeline_with_guard(tmp_path, monkeypatch):
+    """Pipeline-level sparse sketch path: guard compares vs the exact
+    densify reference and records fidelity; a poor sketch falls back."""
+    from bergen_tpu.pipeline.retrieve import Retrieve
+    from datasets import Dataset
+
+    rng = np.random.default_rng(5)
+    V, N, Q = 512, 384, 8
+
+    class FakeSparseModel:
+        is_sparse = True
+
+        def encode_sparse(self, texts):
+            rows = [int(t.split()[-1]) for t in texts]
+            dense = np.zeros((len(rows), 16), np.float32)
+            idx = np.zeros((len(rows), 16), np.int32)
+            for j, r in enumerate(rows):
+                rr = np.random.default_rng(r)
+                idx[j] = rr.choice(V, 16, replace=False)
+                dense[j] = rr.uniform(0.1, 2.0, 16)
+            return dense.astype(np.float16), idx
+
+        def encode(self, texts, query_or_doc):
+            # queries: dense [Q, V] sharing support with doc rows
+            rows = [int(t.split()[-1]) for t in texts]
+            out = np.zeros((len(rows), V), np.float32)
+            for j, r in enumerate(rows):
+                rr = np.random.default_rng(r % N)
+                ix = rr.choice(V, 16, replace=False)
+                out[j, ix] = rr.uniform(0.1, 2.0, 16)
+            return out
+
+        def get_clean_model_name(self):
+            return "fakesplade"
+
+    docs = Dataset.from_dict({
+        "id": [f"d{i}" for i in range(N)],
+        "content": [f"doc {i}" for i in range(N)],
+    })
+    qs = Dataset.from_dict({
+        "id": [f"q{i}" for i in range(Q)],
+        "content": [f"query {i}" for i in range(Q)],
+    })
+    r = Retrieve(model=FakeSparseModel(), batch_size=64, batch_size_sim=8,
+                 sparse_method="sketch", sketch_d=256, sketch_candidates=64)
+    out = r.retrieve({"query": qs, "doc": docs}, str(tmp_path / "qi"),
+                     str(tmp_path / "di"), top_k=5)
+    assert len(out["q_id"]) == Q
+    assert out["fidelity"][0]["method"] == "sketch"
+    # queries are doc rows -> their own doc must rank first whatever engine
+    # the guard settled on (sketch stage 2 rescoring is exact)
+    for i_, row in enumerate(out["doc_id"]):
+        assert row[0] == f"d{i_}"
