@@ -236,6 +236,126 @@ def bench_generate(on_tpu):
     return B * NEW / dt
 
 
+def bench_serving(on_tpu):
+    """Mixed-length workload through the continuous-batching engine vs the
+    static bucketed path (the round-2 'keeps decode batches full' claim,
+    now measured).  64 requests: prompt lengths uniform 32-512, per-request
+    generation budgets uniform 8-128 (standing in for EOS-length variance —
+    a static batch decodes to its LONGEST member's budget while the server
+    frees each slot at its own).  Same w8a8 TinyLlama-dims model both paths;
+    the server drain is ONE device program (serve/engine.run_workload), so
+    the comparison is device-time vs device-time."""
+    import jax
+    import jax.numpy as jnp
+
+    from bergen_tpu.models import convert, llama
+    from bergen_tpu.serve.engine import GenerationServer
+
+    if on_tpu:
+        cfg = llama.LlamaConfig(
+            vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
+            num_kv_heads=4, intermediate_size=5632,
+            max_position_embeddings=2048,
+        )
+        R, SLOTS, PMAX = 64, 16, 512
+        len_lo, len_hi, new_lo, new_hi = 32, 512, 8, 128
+    else:
+        cfg = llama.LlamaConfig(
+            vocab_size=1000, hidden_size=256, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=512,
+            max_position_embeddings=512,
+        )
+        R, SLOTS, PMAX = 8, 4, 64
+        len_lo, len_hi, new_lo, new_hi = 8, 64, 4, 8
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    if on_tpu:
+        params = convert.quantize_tree_int8(params, mxu=True)
+    rng = np.random.default_rng(0)
+    plens = rng.integers(len_lo, len_hi + 1, R)
+    max_news = rng.integers(new_lo, new_hi + 1, R)
+    prompts = [list(rng.integers(3, cfg.vocab_size, n)) for n in plens]
+    total_new = int(max_news.sum())  # budget == tokens generated (eos_id=-1
+    # is unreachable for random weights over a real vocab; budgets stand in
+    # for EOS variance)
+
+    buckets = (64, 128, 256, 512) if on_tpu else (16, 32, 64)
+
+    def bucket_of(n):
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    # ---- static path: sort by prompt length, batches of SLOTS, each batch
+    # padded to its bucket and decoded to its own max budget (what
+    # Generator.eval's length-sorted batching does) ----
+    order = np.argsort(plens)
+    static_dt = 0.0
+    for s in range(0, R, SLOTS):
+        rows = order[s : s + SLOTS]
+        P = bucket_of(max(plens[r] for r in rows))
+        NEW = int(max(max_news[r] for r in rows))
+        B = len(rows)
+        ii = np.zeros((B, P), np.int32)
+        am = np.zeros((B, P), np.int32)
+        for j, r in enumerate(rows):
+            ids = prompts[r][-P:]
+            ii[j, P - len(ids):] = ids
+            am[j, P - len(ids):] = 1
+        ii_d, am_d = jnp.asarray(ii), jnp.asarray(am)
+
+        @functools.partial(jax.jit, static_argnames=("n", "new"))
+        def chained(p, ctr, n, new):
+            def body(_, carry):
+                acc, c = carry
+                ids2 = (ii_d + c) % cfg.vocab_size * am_d
+                toks = llama.greedy_generate(
+                    p, cfg, ids2, am_d, new, eos_token_id=-1, pad_token_id=0,
+                    cache_dtype=jnp.bfloat16)
+                t = jnp.sum(toks[0, :4]).astype(jnp.float32)
+                return acc + t, c + (t * 1e-30).astype(jnp.int32)
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), ctr))
+            return acc
+
+        n_iters = 3 if on_tpu else 2
+        static_dt += _timed_chained(
+            lambda n: float(chained(params, jnp.int32(0), n, NEW)), n_iters)
+
+    # ---- serving path: the whole workload drains in one device program ----
+    server = GenerationServer(
+        params, cfg, eos_token_id=-1, pad_token_id=0, max_slots=SLOTS,
+        max_len=PMAX + int(max_news.max()) + 1, prompt_buckets=buckets,
+    )
+    Pm = bucket_of(max(plens))
+    pr = np.zeros((R, Pm), np.int32)
+    pl = np.zeros(R, np.int32)
+    for r, ids in enumerate(prompts):
+        ids = ids[-Pm:]
+        pr[r, : len(ids)] = ids
+        pl[r] = len(ids)
+    runner = server._workload_runner(R, Pm, int(max_news.max()))
+    pr_d, pl_d = jnp.asarray(pr), jnp.asarray(pl)
+    mn_d = jnp.asarray(max_news.astype(np.int32))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained_srv(p, key, n):
+        def body(_, carry):
+            acc, k = carry
+            out, n_out = runner(p, pr_d, pl_d, mn_d, k)
+            t = jnp.sum(out[0, :4]).astype(jnp.float32)
+            return acc + t, jax.random.fold_in(k, t.astype(jnp.int32))
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.float32(0.0), key))
+        return acc
+
+    n_iters = 3 if on_tpu else 2
+    srv_dt = _timed_chained(
+        lambda n: float(chained_srv(params, jax.random.PRNGKey(0), n)),
+        n_iters)
+    return total_new / srv_dt, total_new / static_dt
+
+
 def main():
     import jax
 
@@ -248,6 +368,12 @@ def main():
     tok_per_sec = bench_generate(on_tpu)
     _emit("tinyllama_generate_tok_per_sec_b32_prefill256_new64_w8a8",
           tok_per_sec, "new tokens/sec/chip", GPU_GENERATE_TOK_PER_SEC)
+
+    srv_tok, static_tok = bench_serving(on_tpu)
+    _emit("tinyllama_serving_tok_per_sec_mixedlen_w8a8_static_batching",
+          static_tok, "new tokens/sec/chip", GPU_GENERATE_TOK_PER_SEC)
+    _emit("tinyllama_serving_tok_per_sec_mixedlen_w8a8_continuous_batching",
+          srv_tok, "new tokens/sec/chip", GPU_GENERATE_TOK_PER_SEC)
 
     qps, which = bench_scoring(on_tpu)
     _emit(f"dense_mips_scoring_qps_1M_docs_768d_top50_{which}", qps,

@@ -201,6 +201,9 @@ class LLM(Generator):
                 prompt_buckets=tuple(self.buckets),
                 dtype=self.dtype,
                 mesh=self.mesh if tp > 1 else None,
+                # sampling runs inside the engine's decode step (round 2
+                # silently bypassed the server for temperature>0)
+                temperature=temperature, top_p=top_p, seed=seed,
             )
 
     # ------------------------------------------------------------------ #
@@ -244,6 +247,21 @@ class LLM(Generator):
             return self.tokenizer.batch_decode(
                 np.asarray(toks), skip_special_tokens=True
             )
+        if self.server is not None:
+            # greedy AND sampled decode both run inside the engine (its
+            # decode step samples with per-step PRNG folds); the offline
+            # batch drains as ONE device program (run_workload) — no per-
+            # token host round-trips
+            enc = self.tokenizer(
+                prompts, truncation=True, max_length=self.max_length,
+                padding=False,
+            )
+            out = self.server.run_workload(
+                enc["input_ids"], max_new_tokens=self.max_new_tokens
+            )
+            return self.tokenizer.batch_decode(
+                out, skip_special_tokens=True
+            )
         if self.temperature > 0:
             ii, am = self._tokenize_left_pad(prompts)
             self.seed += 1  # fresh stream per call, reproducible per run
@@ -258,19 +276,6 @@ class LLM(Generator):
             )
             return self.tokenizer.batch_decode(
                 np.asarray(toks), skip_special_tokens=True
-            )
-        if self.server is not None:
-            enc = self.tokenizer(
-                prompts, truncation=True, max_length=self.max_length,
-                padding=False,
-            )
-            rids = [
-                self.server.submit(ids, max_new_tokens=self.max_new_tokens)
-                for ids in enc["input_ids"]
-            ]
-            out = self.server.run()
-            return self.tokenizer.batch_decode(
-                [out[r] for r in rids], skip_special_tokens=True
             )
         ii, am = self._tokenize_left_pad(prompts)
         toks = self._gen(

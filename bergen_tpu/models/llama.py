@@ -333,14 +333,23 @@ def _attention(
     q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
     k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
 
-    # write IN PLACE into the stacked cache (XLA aliases the donated carry;
-    # per-layer slice+restack forced a full cache copy every decode step)
-    k_all = jax.lax.dynamic_update_slice(
-        k_all, k.astype(k_all.dtype)[None], (li, 0, cursor, 0, 0)
-    )
-    v_all = jax.lax.dynamic_update_slice(
-        v_all, v.astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
-    )
+    if cursor.ndim == 1:
+        # per-row cursors (serving slot-pool decode: each slot is at its own
+        # depth).  Only S==1 decode steps carry vector cursors; the write is
+        # a per-row scatter at each row's own slot.
+        rows = jnp.arange(B)
+        k_all = k_all.at[li, rows, cursor].set(k[:, 0].astype(k_all.dtype))
+        v_all = v_all.at[li, rows, cursor].set(v[:, 0].astype(v_all.dtype))
+    else:
+        # write IN PLACE into the stacked cache (XLA aliases the donated
+        # carry; per-layer slice+restack forced a full cache copy every
+        # decode step)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None], (li, 0, cursor, 0, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
+        )
     k_cache = k_all[li]
     v_cache = v_all[li]
 
@@ -350,9 +359,13 @@ def _attention(
         # so the window constraint is slot-based: key slot j is visible to
         # query slot (cursor + s) iff (cursor + s) - j < window
         L = k_cache.shape[1]
-        q_slots = cursor + jnp.arange(S)
-        dist = q_slots[:, None] - jnp.arange(L)[None, :]  # [S, L]
-        attn_mask = attn_mask & (dist < cfg.sliding_window)[None]
+        if cursor.ndim == 1:
+            dist = cursor[:, None, None] - jnp.arange(L)[None, None, :]
+            attn_mask = attn_mask & (dist < cfg.sliding_window)
+        else:
+            q_slots = cursor + jnp.arange(S)
+            dist = q_slots[:, None] - jnp.arange(L)[None, :]  # [S, L]
+            attn_mask = attn_mask & (dist < cfg.sliding_window)[None]
 
     # the flash kernel implements plain 1/sqrt(Dh)-scaled softmax attention:
     # skip it for sliding-window layers AND whenever softcapping or a custom
@@ -593,6 +606,27 @@ def greedy_generate(
     return jnp.swapaxes(toks, 0, 1)  # [B, max_new_tokens]
 
 
+def sample_token(logits: jnp.ndarray, key: jnp.ndarray,
+                 temperature: float, top_p: float = 1.0) -> jnp.ndarray:
+    """[B, V] logits → [B] sampled token ids: temperature + nucleus (top-p)
+    sampling, the reference's vLLM SamplingParams semantics
+    (``models/generators/vllm.py:61-78``).  Shared by the static sampling
+    decode and the serving engine's in-step sampler."""
+    lg = logits.astype(jnp.float32) / max(temperature, 1e-6)
+    if top_p < 1.0:
+        # nucleus: mask tokens outside the smallest set with cum prob >= p
+        sorted_lg = jnp.sort(lg, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_lg, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose logit >= cutoff of the nucleus boundary
+        keep_n = jnp.sum(cum < top_p, axis=-1) + 1  # [B]
+        cutoff = jnp.take_along_axis(
+            sorted_lg, (keep_n - 1)[:, None], axis=-1
+        )
+        lg = jnp.where(lg >= cutoff, lg, -jnp.inf)
+    return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+
 def sample_generate(
     params: Params,
     cfg: LlamaConfig,
@@ -623,19 +657,7 @@ def sample_generate(
                             prefill_mask)
 
     def pick(key, logits):
-        lg = logits.astype(jnp.float32) / max(temperature, 1e-6)
-        if top_p < 1.0:
-            # nucleus: mask tokens outside the smallest set with cum prob >= p
-            sorted_lg = jnp.sort(lg, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(sorted_lg, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            # keep tokens whose logit >= cutoff of the nucleus boundary
-            keep_n = jnp.sum(cum < top_p, axis=-1) + 1  # [B]
-            cutoff = jnp.take_along_axis(
-                sorted_lg, (keep_n - 1)[:, None], axis=-1
-            )
-            lg = jnp.where(lg >= cutoff, lg, -jnp.inf)
-        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+        return sample_token(logits, key, temperature, top_p)
 
     key, k0 = jax.random.split(key)
     next_tok = pick(k0, logits[:, -1])

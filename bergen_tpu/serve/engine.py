@@ -5,18 +5,31 @@ The reference leans on vLLM for high-throughput generation
 NCCL TP).  This engine provides the TPU equivalent over the JAX llama model:
 
 * a fixed pool of **slots**, each owning a region of a preallocated KV cache
-  ``[layers, slots, max_len, kv_heads, head_dim]`` in HBM — the TPU analogue of
-  paged KV blocks (static shapes; no allocator needed because slot regions are
-  uniform);
+  ``[layers, slots, max_len, kv_heads, head_dim]`` in HBM — the TPU analogue
+  of paged KV blocks (static shapes; no allocator needed because slot regions
+  are uniform);
 * **continuous batching**: one jitted decode step advances every active slot
   per iteration with per-slot cursors and key-validity masks; finished slots
   free immediately and new requests prefill into them without draining the
   batch;
-* **prefill-on-join**: an incoming prompt runs one jitted prefill (flash
-  kernel on TPU) whose K/V land directly in the slot's cache region.
+* **batched prefill-on-join**: queued prompts sharing a length bucket prefill
+  together in one jitted call whose K/V land directly in their slots'
+  regions (round-2 prefilled one request at a time, serialising bursts);
+* **in-step sampling**: temperature / top-p nucleus sampling runs inside the
+  jitted decode step with a per-step PRNG fold — ``temperature>0`` no longer
+  bypasses the engine (round-2 limitation);
+* **device-resident workload drain** (``run_workload``): the ENTIRE
+  mixed-length workload — admission, bucketed prefill, decode, finish, slot
+  reuse — runs as ONE ``lax.while_loop`` program.  Zero host round-trips per
+  token, which is the TPU-idiomatic serving core (host-driven step loops pay
+  the host→device latency per token; through a tunneled deployment that is
+  ~120 ms/token).  The host-driven ``submit()/run()`` loop remains for
+  online/streaming use.
 
-Requests of wildly different lengths therefore never block each other — the
-decode batch stays full, which is exactly the continuous-batching win.
+The decode step and prefill both call ``llama.forward`` (per-row vector
+cursors added for the slot pool) — gemma-2 sandwich norms / logit softcap,
+mixtral MoE, and cohere parallel-block all inherit; round 2 hand-rolled the
+llama block here and had to exclude those families.
 """
 
 from __future__ import annotations
@@ -55,19 +68,13 @@ class GenerationServer:
         prompt_buckets: tuple = (32, 64, 128, 256),
         dtype=None,  # None = bf16 KV cache on TPU, f32 elsewhere
         mesh=None,   # TP: shard the slot KV cache over the mesh 'model' axis
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ):
         if dtype is None:
             dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                      else jnp.float32)
-        if (cfg.post_norms or cfg.attn_logit_softcap or cfg.num_experts
-                or cfg.parallel_block):
-            # the slot-pool decode step below hand-rolls the llama block; it
-            # does not implement gemma-2 sandwich norms/softcapping or MoE —
-            # fail loudly rather than generate silently-wrong tokens
-            raise NotImplementedError(
-                "GenerationServer supports llama/mistral/qwen2-layout models; "
-                "use jax_llm.LLM for gemma-2 and mixtral"
-            )
         self.params = params
         self.cfg = cfg
         self.eos = eos_token_id
@@ -75,11 +82,17 @@ class GenerationServer:
         self.S = max_slots
         self.L = max_len
         self.dtype = dtype
+        self.temperature = temperature
+        self.top_p = top_p
+        self.seed = seed
+        self._step_count = 0
         self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_len)
         if not self.prompt_buckets:
             self.prompt_buckets = (max_len,)
+        # one scratch slot (index S) absorbs batch padding in batched prefill
+        pool = max_slots + 1
 
-        shape = (cfg.num_layers, max_slots, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, pool, max_len, cfg.num_kv_heads, cfg.head_dim)
         self.k_cache = jnp.zeros(shape, dtype)
         self.v_cache = jnp.zeros(shape, dtype)
         if mesh is not None and mesh.shape.get("model", 1) > 1:
@@ -92,98 +105,75 @@ class GenerationServer:
                 spec = NamedSharding(mesh, P(None, None, None, "model", None))
                 self.k_cache = jax.device_put(self.k_cache, spec)
                 self.v_cache = jax.device_put(self.v_cache, spec)
-        self.cursors = np.zeros(max_slots, np.int32)    # tokens in cache per slot
-        self.cur_tok = np.full(max_slots, pad_token_id, np.int32)
+        self.cursors = np.zeros(pool, np.int32)    # tokens in cache per slot
+        self.cur_tok = np.full(pool, pad_token_id, np.int32)
         self.free_slots = list(range(max_slots))
         self.active: Dict[int, _Request] = {}
         self._next_rid = 0
         self._queue: List[_Request] = []
 
         cfg_ = cfg
+        temp_, top_p_ = temperature, top_p
 
-        @functools.partial(jax.jit, static_argnames=("P",),
+        @functools.partial(jax.jit, static_argnames=("P", "B"),
                            donate_argnums=(1, 2))
-        def prefill(params, k_cache, v_cache, slot, ids, valid_len, P):
-            """Run the prompt [1, P] and write its K/V into slot's region.
-            Returns (k_cache, v_cache, next_token)."""
-            cache = llama.init_cache(cfg_, 1, P, dtype=self.dtype)
-            am = (jnp.arange(P)[None, :] < valid_len).astype(jnp.int32)
+        def prefill(params, k_cache, v_cache, slots, ids, valid_len, rng,
+                    P, B):
+            """Prefill a same-bucket batch [B, P] and write each row's K/V
+            into its slot's region.  Returns (k_cache, v_cache, next [B])."""
+            cache = llama.init_cache(cfg_, B, P, dtype=self.dtype)
+            am = (jnp.arange(P)[None, :] < valid_len[:, None]).astype(jnp.int32)
             positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
             causal = jnp.tril(jnp.ones((P, P), bool))
             mask = causal[None] & am[:, None, :].astype(bool)
             logits, tmp_cache = llama.forward(
                 params, cfg_, ids, positions, cache, mask
             )
-            # right-aligned valid region: ids are RIGHT-padded here, so the
-            # prompt K/V occupy [0, valid_len) of the temp cache
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache,
-                tmp_cache["k"][:, :, :P][:, 0][:, None],
-                (0, slot, 0, 0, 0),
+            # ids are RIGHT-padded: prompt K/V occupy [0, valid_len) of the
+            # temp cache; copy each row into its slot region
+            k_cache = k_cache.at[:, slots, :P].set(
+                tmp_cache["k"][:, :, :P].astype(k_cache.dtype)
             )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache,
-                tmp_cache["v"][:, :, :P][:, 0][:, None],
-                (0, slot, 0, 0, 0),
+            v_cache = v_cache.at[:, slots, :P].set(
+                tmp_cache["v"][:, :, :P].astype(v_cache.dtype)
             )
-            nxt = jnp.argmax(logits[0, valid_len - 1], axis=-1).astype(jnp.int32)
+            last = jnp.take_along_axis(
+                logits, (valid_len - 1)[:, None, None], axis=1
+            )[:, 0]  # [B, V]
+            if temp_ > 0:
+                nxt = llama.sample_token(last, rng, temp_, top_p_)
+            else:
+                nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
             return k_cache, v_cache, nxt
 
         @partial(jax.jit, donate_argnums=(1, 2))
-        def step(params, k_cache, v_cache, tokens, cursors, active_mask):
-            """One decode step for every slot: tokens [S], cursors [S].
-            Returns (k_cache, v_cache, next_tokens [S])."""
+        def step(params, k_cache, v_cache, tokens, cursors, active_mask, rng):
+            """One decode step for every slot via llama.forward with per-row
+            cursors.  Returns (k_cache, v_cache, next_tokens [S])."""
             S, L = tokens.shape[0], k_cache.shape[2]
-            x = tokens[:, None]  # [S, 1]
-            positions = cursors[:, None]  # next position == cursor
-            inv_freq = llama.rope_frequencies(cfg_)
-            h = jnp.take(params["embed"], x, axis=0)
-            H, KH, Dh = cfg_.num_heads, cfg_.num_kv_heads, cfg_.head_dim
-            group = H // KH
-            row = jnp.arange(S)
-            for li, layer in enumerate(params["layers"]):
-                hn = llama.rmsnorm(layer["attn_norm"], h, cfg_.rms_norm_eps)
-                q = llama._proj(layer["attn"]["q"], hn).reshape(S, 1, H, Dh)
-                k = llama._proj(layer["attn"]["k"], hn).reshape(S, 1, KH, Dh)
-                v = llama._proj(layer["attn"]["v"], hn).reshape(S, 1, KH, Dh)
-                q = llama.apply_rope(q, positions, inv_freq)
-                k = llama.apply_rope(k, positions, inv_freq)
-                # per-slot scatter write at each slot's own cursor
-                k_cache = k_cache.at[li, row, cursors].set(k[:, 0])
-                v_cache = v_cache.at[li, row, cursors].set(v[:, 0])
-                kc = k_cache[li]  # [S, L, KH, Dh]
-                vc = v_cache[li]
-                qg = q.reshape(S, 1, KH, group, Dh)
-                scores = jnp.einsum(
-                    "bskgd,blkd->bkgsl", qg, kc,
-                    preferred_element_type=jnp.float32,
-                ) / np.sqrt(Dh)
-                valid = (jnp.arange(L)[None, :] <= cursors[:, None])
-                bias = jnp.where(valid[:, None, None, None, :], 0.0, -1e30)
-                probs = jax.nn.softmax(scores + bias, axis=-1).astype(h.dtype)
-                ctx = jnp.einsum(
-                    "bkgsl,blkd->bskgd", probs, vc,
-                    preferred_element_type=jnp.float32,
-                ).astype(h.dtype).reshape(S, 1, H * Dh)
-                h = h + llama._proj(layer["attn"]["o"], ctx)
-                hn = llama.rmsnorm(layer["mlp_norm"], h, cfg_.rms_norm_eps)
-                h = h + llama._mlp(layer, hn)
-            h = llama.rmsnorm(params["final_norm"], h, cfg_.rms_norm_eps)
-            head = params.get("lm_head")
-            if head is None:
-                logits = jnp.dot(h[:, 0], params["embed"].T.astype(h.dtype),
-                                 preferred_element_type=jnp.float32)
+            cache = {"k": k_cache, "v": v_cache, "cursor": cursors}
+            mask = (jnp.arange(L)[None, None, :] <= cursors[:, None, None])
+            logits, cache = llama.forward(
+                params, cfg_, tokens[:, None], cursors[:, None], cache, mask
+            )
+            last = logits[:, 0]
+            if temp_ > 0:
+                nxt = llama.sample_token(last, rng, temp_, top_p_)
             else:
-                # through _proj so quantized trees (int8/int4/w8a8) work
-                logits = llama._proj(head, h[:, 0]).astype(jnp.float32)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
             nxt = jnp.where(active_mask, nxt, tokens)
-            return k_cache, v_cache, nxt
+            return cache["k"], cache["v"], nxt
 
         self._prefill = prefill
         self._step = step
 
     # ------------------------------------------------------------------ #
+
+    def _next_key(self):
+        self._step_count += 1
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), self._step_count
+        )
 
     def submit(self, prompt_ids: List[int], max_new_tokens: int = 64) -> int:
         rid = self._next_rid
@@ -200,23 +190,40 @@ class GenerationServer:
 
     def _admit(self) -> None:
         while self._queue and self.free_slots:
-            req = self._queue.pop(0)
-            slot = self.free_slots.pop(0)
-            P = self._bucket(len(req.prompt_ids))
-            ids = req.prompt_ids[-P:]  # keep the prompt tail, like left-trunc
-            padded = np.full((1, P), self.pad, np.int32)
-            padded[0, : len(ids)] = ids  # right padding; valid region [0, n)
+            # pop a same-bucket run of requests and prefill them as a batch
+            # (padding the batch dim to a power of two; pad rows write into
+            # the scratch slot)
+            P = self._bucket(len(self._queue[0].prompt_ids))
+            batch: List[_Request] = []
+            while (self._queue and len(batch) < len(self.free_slots)
+                   and len(batch) < 8
+                   and self._bucket(len(self._queue[0].prompt_ids)) == P):
+                batch.append(self._queue.pop(0))
+            B = 1 << (len(batch) - 1).bit_length()  # next power of two
+            slots = [self.free_slots.pop(0) for _ in batch]
+            slots_pad = slots + [self.S] * (B - len(batch))  # scratch slot
+            padded = np.full((B, P), self.pad, np.int32)
+            vls = np.ones(B, np.int32)
+            for r, req in enumerate(batch):
+                ids = req.prompt_ids[-P:]  # keep the tail, like left-trunc
+                padded[r, : len(ids)] = ids
+                vls[r] = len(ids)
             self.k_cache, self.v_cache, nxt = self._prefill(
-                self.params, self.k_cache, self.v_cache, slot,
-                jnp.asarray(padded), len(ids), P,
+                self.params, self.k_cache, self.v_cache,
+                jnp.asarray(slots_pad, jnp.int32), jnp.asarray(padded),
+                jnp.asarray(vls), self._next_key(), P, B,
             )
-            req.slot = slot
-            req.out_tokens.append(int(nxt))
-            self.cursors[slot] = len(ids)
-            self.cur_tok[slot] = int(nxt)
-            self.active[slot] = req
-            if int(nxt) == self.eos or len(req.out_tokens) >= req.max_new_tokens:
-                self._finish(slot)
+            nxt = np.asarray(nxt)
+            for r, req in enumerate(batch):
+                slot = slots[r]
+                req.slot = slot
+                req.out_tokens.append(int(nxt[r]))
+                self.cursors[slot] = int(vls[r])
+                self.cur_tok[slot] = int(nxt[r])
+                self.active[slot] = req
+                if (int(nxt[r]) == self.eos
+                        or len(req.out_tokens) >= req.max_new_tokens):
+                    self._finish(slot)
 
     def _finish(self, slot: int) -> None:
         req = self.active.pop(slot)
@@ -225,17 +232,19 @@ class GenerationServer:
         self._finished.append(req)
 
     def run(self) -> Dict[int, List[int]]:
-        """Drive until queue + slots drain; returns {rid: generated tokens}."""
+        """Host-driven drain: one decode dispatch per token step (online /
+        streaming use; ``run_workload`` is the offline-batch fast path)."""
         self._finished: List[_Request] = getattr(self, "_finished", [])
         self._admit()
+        pool = self.S + 1
         while self.active:
-            active_mask = np.zeros(self.S, bool)
+            active_mask = np.zeros(pool, bool)
             for slot in self.active:
                 active_mask[slot] = True
             self.k_cache, self.v_cache, nxt = self._step(
                 self.params, self.k_cache, self.v_cache,
                 jnp.asarray(self.cur_tok), jnp.asarray(self.cursors),
-                jnp.asarray(active_mask),
+                jnp.asarray(active_mask), self._next_key(),
             )
             nxt = np.asarray(nxt)
             for slot in list(self.active):
@@ -254,3 +263,180 @@ class GenerationServer:
         out = {r.rid: r.out_tokens for r in self._finished}
         self._finished = []
         return out
+
+    # ------------------------------------------------------------------ #
+    # device-resident workload drain
+    # ------------------------------------------------------------------ #
+
+    @functools.lru_cache(maxsize=None)
+    def _workload_runner(self, R: int, Pmax: int, max_new: int):
+        cfg_, S, L = self.cfg, self.S, self.L
+        eos, pad = self.eos, self.pad
+        temp_, top_p_ = self.temperature, self.top_p
+        buckets = tuple(b for b in self.prompt_buckets if b <= Pmax)
+        if not buckets or buckets[-1] < Pmax:
+            buckets = buckets + (Pmax,)
+        dtype = self.dtype
+
+        def make_prefill_branch(Pb):
+            def branch(st, params, prompts, rng):
+                slot = jnp.argmin(st["active"])  # first free slot
+                req = st["next_req"]
+                ids = jax.lax.dynamic_slice(prompts, (req, 0), (1, Pb))
+                vl = jnp.minimum(st["plens"][req], Pb)
+                cache = llama.init_cache(cfg_, 1, Pb, dtype=dtype)
+                am = (jnp.arange(Pb)[None, :] < vl).astype(jnp.int32)
+                positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
+                causal = jnp.tril(jnp.ones((Pb, Pb), bool))
+                mask = causal[None] & am[:, None, :].astype(bool)
+                logits, tmp = llama.forward(
+                    params, cfg_, ids, positions, cache, mask
+                )
+                k = st["k"]
+                v = st["v"]
+                upd_k = jnp.zeros((cfg_.num_layers, L, cfg_.num_kv_heads,
+                                   cfg_.head_dim), k.dtype)
+                upd_k = jax.lax.dynamic_update_slice(
+                    upd_k, tmp["k"][:, 0].astype(k.dtype), (0, 0, 0, 0)
+                )
+                upd_v = jnp.zeros_like(upd_k)
+                upd_v = jax.lax.dynamic_update_slice(
+                    upd_v, tmp["v"][:, 0].astype(v.dtype), (0, 0, 0, 0)
+                )
+                # merge: only the first vl rows of the slot region change
+                keep = (jnp.arange(L) < vl)[None, :, None, None]
+                k = k.at[:, slot].set(jnp.where(keep, upd_k, k[:, slot]))
+                v = v.at[:, slot].set(jnp.where(keep, upd_v, v[:, slot]))
+                first = jnp.take_along_axis(
+                    logits, (vl - 1)[None, None, None], axis=1
+                )[0, 0]
+                if temp_ > 0:
+                    nxt = llama.sample_token(first[None], rng, temp_,
+                                             top_p_)[0]
+                else:
+                    nxt = jnp.argmax(first).astype(jnp.int32)
+                done_now = (nxt == eos) | (st["max_news"][req] <= 1)
+                st = dict(st)
+                st["k"], st["v"] = k, v
+                st["out"] = st["out"].at[req, 0].set(nxt)
+                st["n_out"] = st["n_out"].at[req].set(1)
+                st["cursors"] = st["cursors"].at[slot].set(vl)
+                st["cur_tok"] = st["cur_tok"].at[slot].set(nxt)
+                st["active"] = st["active"].at[slot].set(~done_now)
+                st["slot_req"] = st["slot_req"].at[slot].set(req)
+                st["next_req"] = req + 1
+                return st
+
+            return branch
+
+        def run(params, prompts, plens, max_news, rng):
+            st = {
+                "max_news": max_news,
+                "k": jnp.zeros((cfg_.num_layers, S, L, cfg_.num_kv_heads,
+                                cfg_.head_dim), dtype),
+                "v": jnp.zeros((cfg_.num_layers, S, L, cfg_.num_kv_heads,
+                                cfg_.head_dim), dtype),
+                "cursors": jnp.zeros((S,), jnp.int32),
+                "cur_tok": jnp.full((S,), pad, jnp.int32),
+                "active": jnp.zeros((S,), bool),
+                "slot_req": jnp.zeros((S,), jnp.int32),
+                "out": jnp.full((R, max_new), pad, jnp.int32),
+                "n_out": jnp.zeros((R,), jnp.int32),
+                "next_req": jnp.int32(0),
+                "plens": plens,
+                "rng": rng,
+            }
+            branches = [make_prefill_branch(Pb) for Pb in buckets]
+            bucket_arr = jnp.asarray(buckets, jnp.int32)
+
+            def cond(st):
+                return jnp.any(st["active"]) | (st["next_req"] < R)
+
+            def body(st):
+                rng, k_admit, k_step = jax.random.split(st["rng"], 3)
+                st = dict(st)
+                st["rng"] = rng
+                # ---- admit one queued request if a slot is free ----
+                can = jnp.any(~st["active"]) & (st["next_req"] < R)
+                vl = st["plens"][jnp.minimum(st["next_req"], R - 1)]
+                bidx = jnp.sum(vl > bucket_arr).astype(jnp.int32)
+                bidx = jnp.minimum(bidx, len(buckets) - 1)
+
+                def do_admit(st):
+                    return jax.lax.switch(
+                        bidx, branches, st, params, prompts, k_admit
+                    )
+
+                st = jax.lax.cond(can, do_admit, lambda s: s, st)
+                # ---- one decode step for all active slots ----
+                any_active = jnp.any(st["active"])
+
+                def do_step(st):
+                    cache = {"k": st["k"], "v": st["v"],
+                             "cursor": st["cursors"]}
+                    mask = (jnp.arange(L)[None, None, :]
+                            <= st["cursors"][:, None, None])
+                    logits, cache = llama.forward(
+                        params, cfg_, st["cur_tok"][:, None],
+                        st["cursors"][:, None], cache, mask,
+                    )
+                    last = logits[:, 0]
+                    if temp_ > 0:
+                        nxt = llama.sample_token(last, k_step, temp_, top_p_)
+                    else:
+                        nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                    st = dict(st)
+                    st["k"], st["v"] = cache["k"], cache["v"]
+                    reqs = st["slot_req"]
+                    pos = st["n_out"][reqs]  # per-slot write offset
+                    write_pos = jnp.where(st["active"], pos, max_new)
+                    st["out"] = st["out"].at[reqs, write_pos].set(
+                        nxt, mode="drop"
+                    )
+                    st["n_out"] = st["n_out"].at[reqs].add(
+                        st["active"].astype(jnp.int32)
+                    )
+                    new_cursor = st["cursors"] + st["active"].astype(jnp.int32)
+                    st["cursors"] = new_cursor
+                    st["cur_tok"] = jnp.where(st["active"], nxt,
+                                              st["cur_tok"])
+                    finished = st["active"] & (
+                        (nxt == eos)
+                        | (st["n_out"][reqs] >= st["max_news"][reqs])
+                        | (new_cursor >= L - 1)
+                    )
+                    st["active"] = st["active"] & ~finished
+                    return st
+
+                return jax.lax.cond(any_active, do_step, lambda s: s, st)
+
+            st = jax.lax.while_loop(cond, body, st)
+            return st["out"], st["n_out"]
+
+        return jax.jit(run)
+
+    def run_workload(self, prompt_ids_list: List[List[int]],
+                     max_new_tokens: int | List[int] = 64) -> List[List[int]]:
+        """Drain a whole mixed-length workload in one device program.
+        ``max_new_tokens`` may vary per request (slots free at each
+        request's own limit — the continuous-batching win).  Returns
+        generated token lists in submission order."""
+        R = len(prompt_ids_list)
+        Pmax = self._bucket(max(len(p) for p in prompt_ids_list))
+        if isinstance(max_new_tokens, int):
+            max_news = np.full(R, max_new_tokens, np.int32)
+        else:
+            max_news = np.asarray(max_new_tokens, np.int32)
+        prompts = np.full((R, Pmax), self.pad, np.int32)
+        plens = np.zeros(R, np.int32)
+        for r, ids in enumerate(prompt_ids_list):
+            ids = np.asarray(ids, np.int32)[-Pmax:]
+            prompts[r, : len(ids)] = ids
+            plens[r] = len(ids)
+        runner = self._workload_runner(R, Pmax, int(max_news.max()))
+        out, n_out = runner(
+            self.params, jnp.asarray(prompts), jnp.asarray(plens),
+            jnp.asarray(max_news), self._next_key(),
+        )
+        out, n_out = np.asarray(out), np.asarray(n_out)
+        return [list(out[r, : n_out[r]]) for r in range(R)]

@@ -1,0 +1,204 @@
+"""SPLADE sparse-MIPS benchmark at the north-star scale (1M docs).
+
+Round-2 measured the exact densify+GEMM path at ~590 QPS — the one workload
+losing to the modeled GPU (~8k QPS cuSPARSE A100, BASELINE.md).  This bench
+measures the round-3 engines on a realistic synthetic corpus (Zipfian term
+distribution, gamma impact values — the shape that makes SPLADE pruning
+hard):
+
+  1. exact bf16 densify (round-2 path + unique-index scatter)
+  2. exact int8 densify (int8 MXU GEMM, per-doc dequant)
+  3. count-sketch + exact rescore (ops/sparse_sketch.py), with the measured
+     top-50 overlap vs the exact ranking — the number the pipeline's recall
+     guard enforces at run time.
+
+Usage: python scripts/bench_splade.py [--docs 1048576] [--out out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VOCAB = 30522
+NNZ = 256
+Q_BATCH = 512
+Q_TERMS = 40
+TOP_K = 50
+
+
+def zipf_sparse(rng, n_rows, n_terms, alpha=1.1):
+    """Rows of distinct-ish Zipf-distributed term ids + gamma impact values.
+    Duplicate term draws keep their id but zero their value (the fixed-width
+    convention: val-0 entries are no-ops)."""
+    p = 1.0 / np.arange(1, VOCAB + 1) ** alpha
+    cdf = np.cumsum(p / p.sum())
+    idx = np.searchsorted(
+        cdf, rng.random((n_rows, n_terms)), side="right"
+    ).astype(np.int32)
+    idx = np.sort(idx, axis=1)
+    vals = rng.gamma(2.0, 0.6, (n_rows, n_terms)).astype(np.float32)
+    dup = np.zeros_like(vals, dtype=bool)
+    dup[:, 1:] = idx[:, 1:] == idx[:, :-1]
+    vals[dup] = 0.0
+    return vals, idx
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1 << 20)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--sketch-d", type=int, default=1024)
+    ap.add_argument("--candidates", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _timed_chained
+    from bergen_tpu.ops import sparse as sparse_ops
+    from bergen_tpu.ops.sparse_sketch import SketchIndex, sketch_queries
+    from bergen_tpu.parallel import get_mesh
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    N = args.docs
+    print(f"# generating {N} Zipf docs ...", file=sys.stderr, flush=True)
+    d_vals, d_idx = zipf_sparse(rng, N, NNZ)
+    qv, qi = zipf_sparse(rng, Q_BATCH, Q_TERMS, alpha=1.05)
+    q_dense = np.zeros((Q_BATCH, VOCAB), np.float32)
+    np.put_along_axis(q_dense, qi, qv, axis=1)
+    # plant realevant docs: each query shares half its terms with one doc
+    for r in range(Q_BATCH):
+        j = rng.integers(0, N)
+        q_dense[r, d_idx[j, :Q_TERMS // 2]] += d_vals[j, :Q_TERMS // 2]
+
+    mesh = get_mesh()
+    d_vals16 = d_vals.astype(np.float16)
+    results = {}
+
+    def timed(fn_call, n_iters):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained(q, n):
+            def body(_, carry):
+                acc, cur = carry
+                v, _ = fn_call(cur)
+                top = v[0, 0]
+                return acc + top, cur + (top * 1e-36).astype(cur.dtype)
+
+            acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), q))
+            return acc
+
+        q = jnp.asarray(q_dense, jnp.float32)
+        return _timed_chained(lambda n: float(chained(q, n)), n_iters)
+
+    # ---- exact bf16 densify ------------------------------------------------
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    vals_dev, idx_dev, valid_n = sparse_ops.shard_sparse_corpus(
+        mesh, d_vals16, d_idx, dtype=dtype
+    )
+    print("# exact bf16 ...", file=sys.stderr, flush=True)
+    dt = timed(
+        lambda cur: sparse_ops.sharded_sparse_topk(
+            mesh, cur.astype(dtype), vals_dev, idx_dev, TOP_K, VOCAB,
+            valid_n=valid_n,
+        ),
+        4 if on_tpu else 2,
+    )
+    results["exact_bf16_qps"] = Q_BATCH / dt
+    v_ref, i_ref = sparse_ops.sharded_sparse_topk(
+        mesh, jnp.asarray(q_dense, dtype), vals_dev, idx_dev, TOP_K, VOCAB,
+        valid_n=valid_n,
+    )
+    i_ref = np.asarray(i_ref)
+
+    # ---- exact int8 densify ------------------------------------------------
+    codes_dev, idx_dev8, scales_dev, _ = sparse_ops.shard_sparse_corpus(
+        mesh, d_vals16, d_idx, dtype=jnp.int8
+    )
+    print("# exact int8 ...", file=sys.stderr, flush=True)
+    dt8 = timed(
+        lambda cur: sparse_ops.sharded_sparse_topk(
+            mesh, cur, codes_dev, idx_dev8, TOP_K, VOCAB, valid_n=valid_n,
+            doc_scales=scales_dev,
+        ),
+        4 if on_tpu else 2,
+    )
+    results["exact_int8_qps"] = Q_BATCH / dt8
+    _, i_8 = sparse_ops.sharded_sparse_topk(
+        mesh, jnp.asarray(q_dense), codes_dev, idx_dev8, TOP_K, VOCAB,
+        valid_n=valid_n, doc_scales=scales_dev,
+    )
+    results["int8_vs_exact_overlap"] = float(np.mean([
+        len(set(np.asarray(i_8)[r]) & set(i_ref[r])) / TOP_K
+        for r in range(Q_BATCH)
+    ]))
+    del codes_dev, idx_dev8, scales_dev
+
+    # ---- sketch + exact rescore -------------------------------------------
+    print("# sketch build ...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    ski = SketchIndex(mesh, d_vals16, d_idx, VOCAB, d=args.sketch_d,
+                      candidates=args.candidates,
+                      vals_dev=vals_dev, idx_dev=idx_dev)
+    results["sketch_build_s"] = time.time() - t0
+
+    # the search path quantizes + sketches queries host-side; for the
+    # steady-state rate, time the device program with pre-sketched queries
+    from bergen_tpu.ops.scoring import quantize_rows_int8
+    from bergen_tpu.ops.sparse_sketch import _sharded_fn
+
+    qs = sketch_queries(q_dense, ski.bucket, ski.sign, ski.d)
+    q_i8, _ = quantize_rows_int8(jnp.asarray(qs, jnp.float32))
+    q_i8 = jnp.asarray(np.asarray(q_i8))
+    cand = max(TOP_K, min(ski.candidates,
+                          ski.sk_dev.shape[0] // mesh.shape["data"]))
+    fn = _sharded_fn(mesh, TOP_K, cand, 128, not on_tpu)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained_sketch(qi8, qd, n):
+        def body(_, carry):
+            acc, cur = carry
+            v, _ = fn(cur, qd, ski.sk_dev, ski.sk_scales, ski.vals_dev,
+                      ski.idx_dev, jnp.int32(ski.valid_n))
+            top = v[0, 0]
+            # loop-carried dependency the compiler cannot hoist: cur only
+            # provably unchanged if top were +inf, which it cannot prove
+            nxt = jnp.where(jnp.isinf(top), cur + jnp.int8(1), cur)
+            return acc + top, nxt
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), qi8))
+        return acc
+
+    print("# sketch search ...", file=sys.stderr, flush=True)
+    qd = jnp.asarray(q_dense, jnp.float32)
+    n_iters = 33 if on_tpu else 2
+    dt_sk = _timed_chained(
+        lambda n: float(chained_sketch(q_i8, qd, n)), n_iters
+    )
+    results["sketch_qps"] = Q_BATCH / dt_sk
+
+    _, i_sk = ski.search(q_dense, TOP_K)
+    results["sketch_vs_exact_overlap"] = float(np.mean([
+        len(set(np.asarray(i_sk)[r]) & set(i_ref[r])) / TOP_K
+        for r in range(Q_BATCH)
+    ]))
+    results["n_docs"] = N
+    results["backend"] = jax.default_backend()
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

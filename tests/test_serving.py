@@ -107,17 +107,38 @@ def test_llm_generator_serve_mode_matches_batched(tmp_path):
     assert out == ref
 
 
-def test_llm_generator_serve_rejects_gemma2():
-    """The server fails loudly on architectures its decode step can't run."""
-    from bergen_tpu.serve.engine import GenerationServer
-
+def test_server_supports_gemma2_layout():
+    """Round 3: the server decode step routes through llama.forward, so
+    gemma-2 sandwich norms / softcapping (previously rejected) must produce
+    the same greedy tokens as the static path."""
     cfg = llama.LlamaConfig(
-        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
         num_kv_heads=2, intermediate_size=64, post_norms=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        sliding_window=16,
     )
     params = llama.init(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(NotImplementedError):
-        GenerationServer(params, cfg, eos_token_id=2, pad_token_id=0)
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(3, 60, size=n)) for n in (5, 9)]
+    max_new = 6
+
+    server = GenerationServer(params, cfg, EOS, PAD, max_slots=2,
+                              max_len=32, prompt_buckets=(16,))
+    rids = [server.submit(p, max_new) for p in prompts]
+    results = server.run()
+
+    for p, rid in zip(prompts, rids):
+        ii = np.full((1, 16), PAD, np.int32)
+        ii[0, 16 - len(p):] = p  # left pad for the static path
+        am = (ii != PAD).astype(np.int32)
+        ref = llama.greedy_generate(
+            params, cfg, jnp.asarray(ii), jnp.asarray(am), max_new,
+            EOS, PAD, jnp.float32,
+        )
+        ref_toks = [t for t in np.asarray(ref)[0].tolist() if t != PAD]
+        got = results[rid]
+        got = got[: len(ref_toks)]
+        assert got == ref_toks[: len(got)]
 
 
 def test_continuous_batching_w8a8(cfg_params):
@@ -143,3 +164,77 @@ def test_continuous_batching_w8a8(cfg_params):
         got = server_tokens(results[rid], max_new)
         want = [int(t) for t in r][:max_new]
         assert got == want
+
+
+def test_run_workload_matches_host_driven(cfg_params):
+    """The device-resident while_loop drain must produce exactly the host
+    driven loop's greedy tokens (same engine semantics, zero host RTTs)."""
+    cfg, params = cfg_params
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(3, 96, size=n))
+               for n in (5, 13, 7, 21, 4, 9)]
+    max_new = 8
+
+    host = GenerationServer(params, cfg, EOS, PAD, max_slots=2, max_len=64,
+                            prompt_buckets=(8, 16, 32))
+    rids = [host.submit(p, max_new) for p in prompts]
+    host_out = host.run()
+
+    dev = GenerationServer(params, cfg, EOS, PAD, max_slots=2, max_len=64,
+                           prompt_buckets=(8, 16, 32))
+    dev_out = dev.run_workload(prompts, max_new)
+
+    for i, rid in enumerate(rids):
+        assert [int(t) for t in dev_out[i]] == host_out[rid], i
+
+
+def test_server_sampling_in_decode_step(cfg_params):
+    """temperature>0 runs INSIDE the engine (round 2 bypassed it): fixed
+    seed is reproducible, different seeds diverge, tokens are valid ids."""
+    cfg, params = cfg_params
+    rng = np.random.default_rng(13)
+    prompts = [list(rng.integers(3, 96, size=n)) for n in (6, 11, 17)]
+
+    def sample_run(seed):
+        srv = GenerationServer(params, cfg, EOS, PAD, max_slots=2,
+                               max_len=64, prompt_buckets=(8, 16, 32),
+                               temperature=0.9, top_p=0.9, seed=seed)
+        return srv.run_workload(prompts, 8)
+
+    a1, a2, b = sample_run(0), sample_run(0), sample_run(123)
+    assert [list(map(int, r)) for r in a1] == [list(map(int, r)) for r in a2]
+    assert any(list(map(int, x)) != list(map(int, y)) for x, y in zip(a1, b))
+    for row in a1:
+        assert all(0 <= int(t) < cfg.vocab_size for t in row)
+        assert 1 <= len(row) <= 8
+
+
+def test_generator_serve_sampling_no_bypass(tmp_path):
+    """LLM(serve=True, temperature>0) must route through the server (the
+    static sampler would require _tokenize_left_pad; we assert the server's
+    workload runner is what produced the output)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tiny_models import build_tiny_llama
+
+    from bergen_tpu.models.generators.jax_llm import LLM
+
+    path = build_tiny_llama(str(tmp_path / "llama"))
+    llm = LLM(path, batch_size=4, max_new_tokens=6, max_length=64,
+              serve=True, max_slots=2, temperature=0.8, top_p=0.95, seed=7)
+    assert llm.server is not None
+    assert llm.server.temperature == 0.8
+    calls = {}
+    orig = llm.server.run_workload
+
+    def spy(*a, **kw):
+        calls["n"] = calls.get("n", 0) + 1
+        return orig(*a, **kw)
+
+    llm.server.run_workload = spy
+    out = llm.generate(["what is the capital of avaria ?",
+                        "tell me about trains"])
+    assert calls["n"] == 1
+    assert len(out) == 2
