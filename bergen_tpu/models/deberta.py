@@ -134,22 +134,31 @@ def disentangled_attention(layer: Params, cfg: DebertaConfig, x, attention_mask,
         # shared projections on relative embeddings [2*span, D]
         pos_q = _heads(dense(layer["q"], rel_emb[None]), H)[0]  # [2span, H, Dh]
         pos_k = _heads(dense(layer["k"], rel_emb[None]), H)[0]
+        # the per-row position indices are shared across batch and heads —
+        # gather row-by-row with the SMALL [S, S] index table (vmapped over
+        # the query/key row) instead of broadcasting a [B, H, S, S] index
+        # tensor (6.4 GB of int32 at B=32, S=512, which made the original
+        # take_along_axis formulation memory-bound)
+        def rowwise_gather(t, pos):
+            # t [B, H, S, P], pos [S, S] -> out [B, H, S, S]
+            g = jax.vmap(
+                lambda row, idx: jnp.take(row, idx, axis=-1),
+                in_axes=(2, 0), out_axes=2,
+            )(t, pos)
+            return g
+
         if "c2p" in cfg.pos_att_type:
             c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
                              preferred_element_type=jnp.float32)
             c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # [S, S]
-            gathered = jnp.take_along_axis(
-                c2p, jnp.broadcast_to(c2p_pos[None, None], (B, H, S, S)), axis=-1
-            )
-            scores = scores + gathered / scale
+            scores = scores + rowwise_gather(c2p, c2p_pos) / scale
         if "p2c" in cfg.pos_att_type:
             p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
                              preferred_element_type=jnp.float32)
             p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
-            gathered = jnp.take_along_axis(
-                p2c, jnp.broadcast_to(p2c_pos[None, None], (B, H, S, S)), axis=-1
-            )
-            scores = scores + jnp.swapaxes(gathered, -1, -2) / scale
+            scores = scores + jnp.swapaxes(
+                rowwise_gather(p2c, p2c_pos), -1, -2
+            ) / scale
 
     bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)
     probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)

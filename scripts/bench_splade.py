@@ -26,6 +26,12 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[{time.time()-_T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -72,7 +78,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
     N = args.docs
-    print(f"# generating {N} Zipf docs ...", file=sys.stderr, flush=True)
+    _log(f"generating {N} Zipf docs")
     d_vals, d_idx = zipf_sparse(rng, N, NNZ)
     qv, qi = zipf_sparse(rng, Q_BATCH, Q_TERMS, alpha=1.05)
     q_dense = np.zeros((Q_BATCH, VOCAB), np.float32)
@@ -106,7 +112,7 @@ def main():
     vals_dev, idx_dev, valid_n = sparse_ops.shard_sparse_corpus(
         mesh, d_vals16, d_idx, dtype=dtype
     )
-    print("# exact bf16 ...", file=sys.stderr, flush=True)
+    _log("exact bf16")
     dt = timed(
         lambda cur: sparse_ops.sharded_sparse_topk(
             mesh, cur.astype(dtype), vals_dev, idx_dev, TOP_K, VOCAB,
@@ -125,7 +131,7 @@ def main():
     codes_dev, idx_dev8, scales_dev, _ = sparse_ops.shard_sparse_corpus(
         mesh, d_vals16, d_idx, dtype=jnp.int8
     )
-    print("# exact int8 ...", file=sys.stderr, flush=True)
+    _log("exact int8")
     dt8 = timed(
         lambda cur: sparse_ops.sharded_sparse_topk(
             mesh, cur, codes_dev, idx_dev8, TOP_K, VOCAB, valid_n=valid_n,
@@ -145,7 +151,7 @@ def main():
     del codes_dev, idx_dev8, scales_dev
 
     # ---- sketch + exact rescore -------------------------------------------
-    print("# sketch build ...", file=sys.stderr, flush=True)
+    _log("sketch build")
     t0 = time.time()
     ski = SketchIndex(mesh, d_vals16, d_idx, VOCAB, d=args.sketch_d,
                       candidates=args.candidates,
@@ -179,7 +185,7 @@ def main():
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), qi8))
         return acc
 
-    print("# sketch search ...", file=sys.stderr, flush=True)
+    _log("sketch search")
     qd = jnp.asarray(q_dense, jnp.float32)
     n_iters = 33 if on_tpu else 2
     dt_sk = _timed_chained(

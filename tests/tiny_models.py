@@ -6,9 +6,39 @@ directories — exercising the exact same load→convert→device path used for 
 checkpoints (tokenizer files, config.json, safetensors).
 """
 
+import hashlib
 import os
+import shutil
 
 import torch
+
+# bump to invalidate cached checkpoints after changing a builder's weights
+_CACHE_VERSION = 1
+_CACHE_ROOT = os.environ.get(
+    "BERGEN_TPU_TINY_MODEL_CACHE", "/tmp/bergen_tpu_tiny_models"
+)
+
+
+def _cached_build(name: str, out_dir: str, key_parts, build_fn) -> str:
+    """Builders are deterministic (seeded torch init over a stable fixture
+    vocab), so identical (builder, kwargs) across tests and sessions produce
+    identical checkpoints — build once into a content-keyed cache dir and
+    copy (<1 MB) into each caller's out_dir.  Round-2 rebuilt tiny models
+    per test module, a measurable slice of suite wall-clock."""
+    key = hashlib.md5(
+        repr((name, _CACHE_VERSION, key_parts)).encode()
+    ).hexdigest()[:12]
+    cache = os.path.join(_CACHE_ROOT, f"{name}-{key}")
+    done = os.path.join(cache, ".done")
+    if not os.path.exists(done):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        build_fn(cache)
+        with open(done, "w") as f:
+            f.write("ok")
+    if os.path.abspath(out_dir) != os.path.abspath(cache):
+        shutil.copytree(cache, out_dir, dirs_exist_ok=True)
+    return out_dir
 
 
 def _word_vocab():
@@ -26,7 +56,16 @@ def _word_vocab():
 def build_tiny_bert(out_dir: str, with_mlm: bool = False, num_labels: int | None = None,
                     hidden: int = 64, layers: int = 2, seed: int = 0) -> str:
     """Create a tiny BERT (+WordPiece tokenizer over the fixture vocab) at
-    out_dir; returns out_dir (usable as model_name)."""
+    out_dir; returns out_dir (usable as model_name).  Cached by args."""
+    return _cached_build(
+        "bert", out_dir, (with_mlm, num_labels, hidden, layers, seed),
+        lambda d: _build_tiny_bert(d, with_mlm, num_labels, hidden, layers,
+                                   seed),
+    )
+
+
+def _build_tiny_bert(out_dir: str, with_mlm: bool, num_labels: int | None,
+                     hidden: int, layers: int, seed: int) -> str:
     from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
     from transformers import (
         BertConfig, BertForMaskedLM, BertForSequenceClassification, BertModel,
@@ -79,7 +118,18 @@ def build_tiny_llama(out_dir: str, hidden: int = 64, layers: int = 2,
                      seed: int = 0, vocab_extra: int = 0,
                      rope_scaling: dict | None = None) -> str:
     """Create a tiny LlamaForCausalLM + word-level tokenizer with a chat
-    template, saved to out_dir."""
+    template, saved to out_dir.  Cached by args."""
+    key = (hidden, layers, seed, vocab_extra,
+           tuple(sorted(rope_scaling.items())) if rope_scaling else None)
+    return _cached_build(
+        "llama", out_dir, key,
+        lambda d: _build_tiny_llama(d, hidden, layers, seed, vocab_extra,
+                                    rope_scaling),
+    )
+
+
+def _build_tiny_llama(out_dir: str, hidden: int, layers: int, seed: int,
+                      vocab_extra: int, rope_scaling: dict | None) -> str:
     from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
     from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
 
