@@ -52,6 +52,8 @@ class LLM(Generator):
         seed: int = 0,
         dtype: str | None = None,  # 'f32'/'bf16' force; None = bf16 on TPU,
         # f32 elsewhere. f32-on-TPU exists for cross-backend parity checks.
+        w8a8_outlier_threshold: float = 10.0,  # max per-token absmax/rms on
+        # the calibration batch before w8a8 falls back to weight-only int8
         **_ignored,
     ):
         super().__init__(
@@ -84,6 +86,24 @@ class LLM(Generator):
         hf_model = AutoModelForCausalLM.from_pretrained(model_name, **_load_kw)
         params = convert.llama_from_hf(hf_model.state_dict(), self.cfg.num_layers)
         del hf_model
+        if quantization in ("int8_mxu", "w8a8"):
+            # W8A8 quantizes ACTIVATIONS per row; real LLMs can carry
+            # emergent outlier channels (the reason LLM.int8 exists) that a
+            # per-row scale would crush.  Calibrate on a real forward pass
+            # before committing: above the threshold, fall back to
+            # weight-only int8 (identical HBM savings, bf16 matmul).
+            params = convert.to_device_tree(params, dtype=self.dtype)
+            ratio = self._calibrate_outliers(params)
+            if ratio > w8a8_outlier_threshold:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "w8a8 calibration: activation outlier ratio %.1f > "
+                    "threshold %.1f — falling back to weight-only int8 "
+                    "(per-row activation quantization would crush the "
+                    "non-outlier channels)", ratio, w8a8_outlier_threshold,
+                )
+                quantization = "int8"
         if quantization == "int8":
             params = convert.quantize_tree_int8(params)
         elif quantization in ("int8_mxu", "w8a8"):
@@ -207,6 +227,33 @@ class LLM(Generator):
             )
 
     # ------------------------------------------------------------------ #
+
+    _CALIBRATION_TEXTS = [
+        "The quick brown fox jumps over the lazy dog near the river bank .",
+        "In 1969 astronauts first landed on the moon during the mission .",
+        "Paris is the capital of France and Berlin the capital of Germany .",
+        "What is the name of the longest river on the southern continent ?",
+    ]
+
+    def _calibrate_outliers(self, params) -> float:
+        """Max per-token absmax/rms of the layer inputs over one real
+        forward pass on a small calibration batch — the LLM.int8
+        emergent-outlier signal that decides whether per-row activation
+        quantization (w8a8) is numerically safe for this checkpoint."""
+        enc = self.tokenizer(self._CALIBRATION_TEXTS, truncation=True,
+                             max_length=32)
+        L = min(32, min(len(t) for t in enc["input_ids"]))
+        ii = np.asarray([t[:L] for t in enc["input_ids"]], np.int32)
+        B = ii.shape[0]
+        cache = llama.init_cache(self.cfg, B, L, dtype=self.dtype)
+        positions = jnp.broadcast_to(jnp.arange(L), (B, L)).astype(jnp.int32)
+        mask = jnp.broadcast_to(jnp.tril(jnp.ones((L, L), bool)), (B, L, L))
+        _, _, stats = jax.jit(
+            functools.partial(llama.forward, cfg=self.cfg,
+                              collect_stats=True)
+        )(params, input_ids=jnp.asarray(ii), positions=positions,
+          cache=cache, attn_mask=mask)
+        return float(jnp.max(stats))
 
     def _tokenize_left_pad(self, prompts: List[str]):
         enc = self.tokenizer(

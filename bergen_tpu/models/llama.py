@@ -478,9 +478,12 @@ def forward(
     cache: Dict[str, jnp.ndarray],
     attn_mask: jnp.ndarray,   # [B, S, L] bool over cache slots
     input_embeds: jnp.ndarray | None = None,  # [B, S, D] overrides embedding
+    collect_stats: bool = False,  # also return per-layer activation-outlier
+    # ratios (absmax/rms per token, maxed) — the w8a8 calibration signal
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One forward step (prefill: S=prompt_len; decode: S=1) writing K/V at
-    cache cursor. Returns (logits [B, S, V] f32, updated cache).
+    cache cursor. Returns (logits [B, S, V] f32, updated cache) — plus a
+    [2*n_layers] outlier-ratio vector when ``collect_stats``.
     ``input_embeds`` lets compression generators (COCOM memory tokens, xRAG
     embedding injection) feed soft prompts instead of token ids."""
     inv_freq = rope_frequencies(cfg)
@@ -493,9 +496,22 @@ def forward(
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), x.dtype)
     cursor = cache["cursor"]
 
+    def _outlier_ratio(h):
+        # per-token absmax/rms, maxed over the batch: the signal-to-rounding
+        # ratio of per-row int8 activation quantization.  Gaussian
+        # activations sit near sqrt(2 ln D) (~4); LLM.int8-style emergent
+        # outlier channels push it to 20-100.
+        f = h.reshape(-1, h.shape[-1]).astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(f), axis=-1)
+        rms = jnp.sqrt(jnp.mean(f * f, axis=-1) + 1e-12)
+        return jnp.max(absmax / rms)
+
+    stats = []
     k_all, v_all = cache["k"], cache["v"]
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["attn_norm"], x, cfg)
+        if collect_stats:
+            stats.append(_outlier_ratio(h))
         a, k_all, v_all = _attention(
             layer, cfg, h, positions, inv_freq, k_all, v_all, li, cursor,
             attn_mask,
@@ -511,6 +527,8 @@ def forward(
             a = _norm(layer["post_attn_norm"], a, cfg)
         x = x + a
         h = _norm(layer["mlp_norm"], x, cfg)
+        if collect_stats:
+            stats.append(_outlier_ratio(h))
         if "moe" in layer:
             m = _moe(layer, cfg, h)
         else:
@@ -539,6 +557,8 @@ def forward(
             input_ids.shape[1] if input_embeds is None else input_embeds.shape[1]
         ),
     }
+    if collect_stats:
+        return logits, new_cache, jnp.stack(stats)
     return logits, new_cache
 
 

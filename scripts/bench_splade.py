@@ -92,12 +92,15 @@ def main():
     d_vals16 = d_vals.astype(np.float16)
     results = {}
 
-    def timed(fn_call, n_iters):
+    def timed(fn_call, arrays, n_iters):
+        # the corpus arrays MUST be jit arguments: closed-over device arrays
+        # get baked into the program as giant constants (1.5 GB of HLO at
+        # 1M docs — the compile never returns through the tunnel)
         @functools.partial(jax.jit, static_argnames=("n",))
-        def chained(q, n):
+        def chained(q, arrays, n):
             def body(_, carry):
                 acc, cur = carry
-                v, _ = fn_call(cur)
+                v, _ = fn_call(cur, *arrays)
                 top = v[0, 0]
                 return acc + top, cur + (top * 1e-36).astype(cur.dtype)
 
@@ -105,7 +108,7 @@ def main():
             return acc
 
         q = jnp.asarray(q_dense, jnp.float32)
-        return _timed_chained(lambda n: float(chained(q, n)), n_iters)
+        return _timed_chained(lambda n: float(chained(q, arrays, n)), n_iters)
 
     # ---- exact bf16 densify ------------------------------------------------
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -114,10 +117,10 @@ def main():
     )
     _log("exact bf16")
     dt = timed(
-        lambda cur: sparse_ops.sharded_sparse_topk(
-            mesh, cur.astype(dtype), vals_dev, idx_dev, TOP_K, VOCAB,
-            valid_n=valid_n,
+        lambda cur, vd, ix: sparse_ops.sharded_sparse_topk(
+            mesh, cur.astype(dtype), vd, ix, TOP_K, VOCAB, valid_n=valid_n,
         ),
+        (vals_dev, idx_dev),
         4 if on_tpu else 2,
     )
     results["exact_bf16_qps"] = Q_BATCH / dt
@@ -133,10 +136,10 @@ def main():
     )
     _log("exact int8")
     dt8 = timed(
-        lambda cur: sparse_ops.sharded_sparse_topk(
-            mesh, cur, codes_dev, idx_dev8, TOP_K, VOCAB, valid_n=valid_n,
-            doc_scales=scales_dev,
+        lambda cur, cd, ix, sc: sparse_ops.sharded_sparse_topk(
+            mesh, cur, cd, ix, TOP_K, VOCAB, valid_n=valid_n, doc_scales=sc,
         ),
+        (codes_dev, idx_dev8, scales_dev),
         4 if on_tpu else 2,
     )
     results["exact_int8_qps"] = Q_BATCH / dt8
@@ -171,11 +174,11 @@ def main():
     fn = _sharded_fn(mesh, TOP_K, cand, 128, not on_tpu)
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chained_sketch(qi8, qd, n):
+    def chained_sketch(qi8, qd, sk_dev, sk_scales, vals_d, idx_d, n):
         def body(_, carry):
             acc, cur = carry
-            v, _ = fn(cur, qd, ski.sk_dev, ski.sk_scales, ski.vals_dev,
-                      ski.idx_dev, jnp.int32(ski.valid_n))
+            v, _ = fn(cur, qd, sk_dev, sk_scales, vals_d, idx_d,
+                      jnp.int32(ski.valid_n))
             top = v[0, 0]
             # loop-carried dependency the compiler cannot hoist: cur only
             # provably unchanged if top were +inf, which it cannot prove
@@ -189,7 +192,9 @@ def main():
     qd = jnp.asarray(q_dense, jnp.float32)
     n_iters = 33 if on_tpu else 2
     dt_sk = _timed_chained(
-        lambda n: float(chained_sketch(q_i8, qd, n)), n_iters
+        lambda n: float(chained_sketch(q_i8, qd, ski.sk_dev, ski.sk_scales,
+                                       ski.vals_dev, ski.idx_dev, n)),
+        n_iters,
     )
     results["sketch_qps"] = Q_BATCH / dt_sk
 

