@@ -134,30 +134,35 @@ def disentangled_attention(layer: Params, cfg: DebertaConfig, x, attention_mask,
         # shared projections on relative embeddings [2*span, D]
         pos_q = _heads(dense(layer["q"], rel_emb[None]), H)[0]  # [2span, H, Dh]
         pos_k = _heads(dense(layer["k"], rel_emb[None]), H)[0]
-        # the per-row position indices are shared across batch and heads —
-        # gather row-by-row with the SMALL [S, S] index table (vmapped over
-        # the query/key row) instead of broadcasting a [B, H, S, S] index
-        # tensor (6.4 GB of int32 at B=32, S=512, which made the original
-        # take_along_axis formulation memory-bound)
-        def rowwise_gather(t, pos):
-            # t [B, H, S, P], pos [S, S] -> out [B, H, S, S]
-            g = jax.vmap(
-                lambda row, idx: jnp.take(row, idx, axis=-1),
-                in_axes=(2, 0), out_axes=2,
-            )(t, pos)
-            return g
+        # The position-index table is shared across batch and heads, so the
+        # [B, H, S, P] -> [B, H, S, S] regather is expressed as a one-hot
+        # MATMUL rather than a gather: TPU gathers of this shape measured
+        # ~7% MFU on the rerank workload (and the original broadcast
+        # take_along_axis materialised a [B, H, S, S] int32 index tensor),
+        # while the equivalent per-row [B*H, P] @ [P, S] batched matmul is
+        # a fraction of a millisecond of MXU work.
+        def rowwise_regather(t, pos, P):
+            # t [B, H, S, P], pos [S, S] -> out[b,h,s,k] = t[b,h,s,pos[s,k]]
+            # precision=HIGHEST keeps the select bitwise-exact in f32: the
+            # bf16x3 decomposition reconstructs t * {0.0, 1.0} exactly
+            onehot = jax.nn.one_hot(pos, P, dtype=t.dtype)  # [S, S(k), P]
+            return jnp.einsum("bhsp,skp->bhsk", t, onehot,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
 
         if "c2p" in cfg.pos_att_type:
             c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
                              preferred_element_type=jnp.float32)
             c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # [S, S]
-            scores = scores + rowwise_gather(c2p, c2p_pos) / scale
+            scores = scores + rowwise_regather(
+                c2p, c2p_pos, 2 * span
+            ) / scale
         if "p2c" in cfg.pos_att_type:
             p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
                              preferred_element_type=jnp.float32)
             p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
             scores = scores + jnp.swapaxes(
-                rowwise_gather(p2c, p2c_pos), -1, -2
+                rowwise_regather(p2c, p2c_pos, 2 * span), -1, -2
             ) / scale
 
     bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)

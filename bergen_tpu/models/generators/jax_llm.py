@@ -40,7 +40,9 @@ class LLM(Generator):
         serve: bool = False,  # route generation through the continuous-
         # batching GenerationServer (the vLLM-engine stand-in) instead of
         # static length-bucketed batches
-        max_slots: int = 16,
+        max_slots: int = 32,  # measured sweet spot for the aligned-cursor
+        # drain on v5e (documentation/performance.md serving table)
+
         # sampling / search (reference vllm.py:61-78 SamplingParams):
         # temperature 0 = greedy; use_beam_search + best_of>1 = beam search
         temperature: float = 0.0,

@@ -335,11 +335,19 @@ def _attention(
 
     if cursor.ndim == 1:
         # per-row cursors (serving slot-pool decode: each slot is at its own
-        # depth).  Only S==1 decode steps carry vector cursors; the write is
-        # a per-row scatter at each row's own slot.
-        rows = jnp.arange(B)
-        k_all = k_all.at[li, rows, cursor].set(k[:, 0].astype(k_all.dtype))
-        v_all = v_all.at[li, rows, cursor].set(v[:, 0].astype(v_all.dtype))
+        # depth).  Only S==1 decode steps carry vector cursors.  Expressed
+        # as a one-hot select + static-index slice write rather than a
+        # scatter: XLA's TPU scatter runs ~90M updates/s, which cost ~2 ms
+        # per decode step across the layers; the select fuses into one
+        # sequential pass over the layer's cache slab.
+        L = k_all.shape[2]
+        sel = (jnp.arange(L)[None, :] == cursor[:, None])[:, :, None, None]
+        k_all = k_all.at[li].set(
+            jnp.where(sel, k[:, 0][:, None].astype(k_all.dtype), k_all[li])
+        )
+        v_all = v_all.at[li].set(
+            jnp.where(sel, v[:, 0][:, None].astype(v_all.dtype), v_all[li])
+        )
     else:
         # write IN PLACE into the stacked cache (XLA aliases the donated
         # carry; per-layer slice+restack forced a full cache copy every

@@ -287,19 +287,30 @@ def _ln(o, scale_row, bias_row, eps):
 def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
                   lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref,
                   ln2b_ref, m_ref, o_ref, *, heads: int, head_dim: int,
-                  scale: float, eps: float, act: str):
-    x = x_ref[0]                                        # [S, D]
+                  scale: float, eps: float, act: str, n_seqs: int = 1):
+    # n_seqs sequences flattened into ONE [n*S, D] row block: every matmul
+    # in the layer gets an M dimension of n*S instead of S, filling the MXU
+    # better at short S (the round-2 "remaining headroom"); only the
+    # attention sub-block splits back per sequence
+    S = x_ref.shape[1]
+    x = x_ref[...].reshape(n_seqs * S, x_ref.shape[2])  # [n*S, D]
     qkv = jax.lax.dot_general(
         x, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0][None, :].astype(jnp.float32)        # [S, 3D] f32
-    ctx = _attn_sub(x, qkv.astype(x.dtype), m_ref[0][0, :],
-                    heads=heads, head_dim=head_dim, scale=scale)
+    ) + bqkv_ref[0][None, :].astype(jnp.float32)        # [n*S, 3D] f32
+    qkv_b = qkv.astype(x.dtype)
+    ctxs = []
+    for i in range(n_seqs):
+        ctxs.append(_attn_sub(
+            x[i * S:(i + 1) * S], qkv_b[i * S:(i + 1) * S], m_ref[i][0, :],
+            heads=heads, head_dim=head_dim, scale=scale,
+        ))
+    ctx = ctxs[0] if n_seqs == 1 else jnp.concatenate(ctxs, axis=0)
     o = jax.lax.dot_general(
         ctx, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bo_ref[0][None, :].astype(jnp.float32) + x.astype(jnp.float32)
-    y = _ln(o, lns_ref[0], lnb_ref[0], eps)             # [S, D] f32
+    y = _ln(o, lns_ref[0], lnb_ref[0], eps)             # [n*S, D] f32
     yb = y.astype(x.dtype)
     h = jax.lax.dot_general(
         yb, w1_ref[...], (((1,), (0,)), ((), ())),
@@ -311,7 +322,7 @@ def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
         preferred_element_type=jnp.float32,
     ) + b2_ref[0][None, :].astype(jnp.float32) + y
     z = _ln(f, ln2s_ref[0], ln2b_ref[0], eps)
-    o_ref[0] = z.astype(o_ref.dtype)
+    o_ref[...] = z.reshape(x_ref.shape).astype(o_ref.dtype)
 
 
 def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
@@ -337,21 +348,34 @@ def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
 _VMEM_PARAMS = dict(vmem_limit_bytes=64 * 1024 * 1024)
 
 
+# Sequences flattened per grid step in the whole-layer kernel: [n*S, D]
+# matmul tiles fill the MXU better than [S, D] at encode shapes (measured
+# on v5e, see documentation/performance.md).  Falls back to 1 when the
+# local batch doesn't divide.
+LAYER_SEQS_PER_TILE = 2
+
+
 def _layer_local(x, wqkv, bqkv, wo, bo, lns, lnb, w1, b1, w2, b2, ln2s,
                  ln2b, mask, num_heads: int, eps: float, act: str):
     B, S, D = x.shape
     I = w1.shape[1]
     head_dim = D // num_heads
-    xspec = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0),
+    n = LAYER_SEQS_PER_TILE
+    # activation scratch grows with n; keep qkv+h f32 tiles under ~12 MB
+    while n > 1 and (B % n != 0
+                     or n * S * (3 * D + I) * 4 > 12 * 1024 * 1024):
+        n -= 1
+    xspec = pl.BlockSpec((n, S, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(shape, lambda b: (0, 0),
                                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_layer_kernel, heads=num_heads, head_dim=head_dim,
-                          scale=1.0 / math.sqrt(head_dim), eps=eps, act=act),
+                          scale=1.0 / math.sqrt(head_dim), eps=eps, act=act,
+                          n_seqs=n),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(B,),
+            grid=(B // n,),
             in_specs=[xspec,
                       const2((D, 3 * D)), const2((1, 3 * D)),
                       const2((D, D)), const2((1, D)),
@@ -359,7 +383,7 @@ def _layer_local(x, wqkv, bqkv, wo, bo, lns, lnb, w1, b1, w2, b2, ln2s,
                       const2((D, I)), const2((1, I)),
                       const2((I, D)), const2((1, D)),
                       const2((1, D)), const2((1, D)),
-                      pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                      pl.BlockSpec((n, 1, S), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=xspec,
         ),

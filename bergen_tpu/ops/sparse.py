@@ -80,7 +80,7 @@ def sparse_topk_blocked(
     doc_idx: jnp.ndarray,   # [N, nnz]
     k: int,
     vocab: int,
-    block: int = 4096,
+    block: int = 8192,
     vary_axis: str | None = None,
     method: str = "auto",
     recall_target: float = 0.99,
@@ -193,7 +193,7 @@ def sharded_sparse_topk(
     doc_idx_sharded: jnp.ndarray,
     k: int,
     vocab: int,
-    block: int = 4096,
+    block: int = 8192,
     valid_n: int | None = None,
     method: str = "auto",
     recall_target: float = 0.99,

@@ -269,8 +269,18 @@ class GenerationServer:
     # ------------------------------------------------------------------ #
 
     @functools.lru_cache(maxsize=None)
-    def _workload_runner(self, R: int, Pmax: int, max_new: int):
-        cfg_, S, L = self.cfg, self.S, self.L
+    def _workload_runner(self, R: int, Pmax: int, max_new: int, Lc: int):
+        """Aligned-cursor drain: every slot writes its K/V at the SAME
+        global cache position ``g`` each step, because each admitted prompt
+        is placed so it ENDS at the current ``g`` (left-aligned into
+        [g - Pb, g)).  The decode write is then one contiguous
+        dynamic_update_slice — identical to the static path — instead of a
+        per-slot-cursor scatter/select (measured: per-row scatter cost
+        ~2 ms/step, full-slab select scaled with slots x cache length; the
+        aligned write made the drain beat static batching).  The price is a
+        cache sized by the iteration budget (``Lc``), so offline workloads
+        drain in request chunks (Generator batches already do this)."""
+        cfg_, S = self.cfg, self.S
         eos, pad = self.eos, self.pad
         temp_, top_p_ = self.temperature, self.top_p
         buckets = tuple(b for b in self.prompt_buckets if b <= Pmax)
@@ -282,45 +292,45 @@ class GenerationServer:
             def branch(st, params, prompts, rng):
                 slot = jnp.argmin(st["active"])  # first free slot
                 req = st["next_req"]
-                ids = jax.lax.dynamic_slice(prompts, (req, 0), (1, Pb))
+                g = st["g"]
+                ids_r = jax.lax.dynamic_slice(
+                    prompts, (req, 0), (1, Pmax)
+                )[:, :Pb]                        # right-padded [1, Pb]
                 vl = jnp.minimum(st["plens"][req], Pb)
-                cache = llama.init_cache(cfg_, 1, Pb, dtype=dtype)
-                am = (jnp.arange(Pb)[None, :] < vl).astype(jnp.int32)
+                ids = jnp.roll(ids_r, Pb - vl, axis=1)  # left-padded
+                am = (jnp.arange(Pb)[None, :] >= Pb - vl).astype(jnp.int32)
                 positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
                 causal = jnp.tril(jnp.ones((Pb, Pb), bool))
                 mask = causal[None] & am[:, None, :].astype(bool)
+                cache = llama.init_cache(cfg_, 1, Pb, dtype=dtype)
                 logits, tmp = llama.forward(
                     params, cfg_, ids, positions, cache, mask
                 )
-                k = st["k"]
-                v = st["v"]
-                upd_k = jnp.zeros((cfg_.num_layers, L, cfg_.num_kv_heads,
-                                   cfg_.head_dim), k.dtype)
-                upd_k = jax.lax.dynamic_update_slice(
-                    upd_k, tmp["k"][:, 0].astype(k.dtype), (0, 0, 0, 0)
+                # the prompt region lands at [g - Pb, g) of the slot's row
+                # (one contiguous write; left-pad K/V rows are masked out
+                # via `valid`)
+                st = dict(st)
+                st["k"] = jax.lax.dynamic_update_slice(
+                    st["k"], tmp["k"].astype(dtype),
+                    (0, slot, g - Pb, 0, 0),
                 )
-                upd_v = jnp.zeros_like(upd_k)
-                upd_v = jax.lax.dynamic_update_slice(
-                    upd_v, tmp["v"][:, 0].astype(v.dtype), (0, 0, 0, 0)
+                st["v"] = jax.lax.dynamic_update_slice(
+                    st["v"], tmp["v"].astype(dtype),
+                    (0, slot, g - Pb, 0, 0),
                 )
-                # merge: only the first vl rows of the slot region change
-                keep = (jnp.arange(L) < vl)[None, :, None, None]
-                k = k.at[:, slot].set(jnp.where(keep, upd_k, k[:, slot]))
-                v = v.at[:, slot].set(jnp.where(keep, upd_v, v[:, slot]))
-                first = jnp.take_along_axis(
-                    logits, (vl - 1)[None, None, None], axis=1
-                )[0, 0]
+                pos_idx = jnp.arange(Lc)
+                row_valid = (pos_idx >= g - vl) & (pos_idx < g)
+                st["valid"] = st["valid"].at[slot].set(row_valid)
+                first = logits[0, -1]  # last row == last real token
                 if temp_ > 0:
                     nxt = llama.sample_token(first[None], rng, temp_,
                                              top_p_)[0]
                 else:
                     nxt = jnp.argmax(first).astype(jnp.int32)
                 done_now = (nxt == eos) | (st["max_news"][req] <= 1)
-                st = dict(st)
-                st["k"], st["v"] = k, v
                 st["out"] = st["out"].at[req, 0].set(nxt)
                 st["n_out"] = st["n_out"].at[req].set(1)
-                st["cursors"] = st["cursors"].at[slot].set(vl)
+                st["tok_pos"] = st["tok_pos"].at[slot].set(vl)
                 st["cur_tok"] = st["cur_tok"].at[slot].set(nxt)
                 st["active"] = st["active"].at[slot].set(~done_now)
                 st["slot_req"] = st["slot_req"].at[slot].set(req)
@@ -332,11 +342,13 @@ class GenerationServer:
         def run(params, prompts, plens, max_news, rng):
             st = {
                 "max_news": max_news,
-                "k": jnp.zeros((cfg_.num_layers, S, L, cfg_.num_kv_heads,
+                "k": jnp.zeros((cfg_.num_layers, S, Lc, cfg_.num_kv_heads,
                                 cfg_.head_dim), dtype),
-                "v": jnp.zeros((cfg_.num_layers, S, L, cfg_.num_kv_heads,
+                "v": jnp.zeros((cfg_.num_layers, S, Lc, cfg_.num_kv_heads,
                                 cfg_.head_dim), dtype),
-                "cursors": jnp.zeros((S,), jnp.int32),
+                "g": jnp.int32(Pmax),        # shared global cache cursor
+                "valid": jnp.zeros((S, Lc), bool),
+                "tok_pos": jnp.zeros((S,), jnp.int32),  # logical (RoPE) pos
                 "cur_tok": jnp.full((S,), pad, jnp.int32),
                 "active": jnp.zeros((S,), bool),
                 "slot_req": jnp.zeros((S,), jnp.int32),
@@ -350,7 +362,8 @@ class GenerationServer:
             bucket_arr = jnp.asarray(buckets, jnp.int32)
 
             def cond(st):
-                return jnp.any(st["active"]) | (st["next_req"] < R)
+                return (jnp.any(st["active"]) | (st["next_req"] < R)) \
+                    & (st["g"] < Lc)
 
             def body(st):
                 rng, k_admit, k_step = jax.random.split(st["rng"], 3)
@@ -368,17 +381,18 @@ class GenerationServer:
                     )
 
                 st = jax.lax.cond(can, do_admit, lambda s: s, st)
-                # ---- one decode step for all active slots ----
+                # ---- one decode step for all active slots at shared g ----
                 any_active = jnp.any(st["active"])
 
                 def do_step(st):
-                    cache = {"k": st["k"], "v": st["v"],
-                             "cursor": st["cursors"]}
-                    mask = (jnp.arange(L)[None, None, :]
-                            <= st["cursors"][:, None, None])
+                    g = st["g"]
+                    cache = {"k": st["k"], "v": st["v"], "cursor": g}
+                    # the new token at position g attends to itself plus the
+                    # slot's own valid history
+                    valid = st["valid"].at[:, g].set(True)
                     logits, cache = llama.forward(
                         params, cfg_, st["cur_tok"][:, None],
-                        st["cursors"][:, None], cache, mask,
+                        st["tok_pos"][:, None], cache, valid[:, None, :],
                     )
                     last = logits[:, 0]
                     if temp_ > 0:
@@ -387,6 +401,9 @@ class GenerationServer:
                         nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
                     st = dict(st)
                     st["k"], st["v"] = cache["k"], cache["v"]
+                    # position g joins the sequences of ACTIVE slots only
+                    st["valid"] = st["valid"].at[:, g].set(st["active"])
+                    st["g"] = g + 1
                     reqs = st["slot_req"]
                     pos = st["n_out"][reqs]  # per-slot write offset
                     write_pos = jnp.where(st["active"], pos, max_new)
@@ -396,14 +413,14 @@ class GenerationServer:
                     st["n_out"] = st["n_out"].at[reqs].add(
                         st["active"].astype(jnp.int32)
                     )
-                    new_cursor = st["cursors"] + st["active"].astype(jnp.int32)
-                    st["cursors"] = new_cursor
+                    st["tok_pos"] = st["tok_pos"] + st["active"].astype(
+                        jnp.int32
+                    )
                     st["cur_tok"] = jnp.where(st["active"], nxt,
                                               st["cur_tok"])
                     finished = st["active"] & (
                         (nxt == eos)
                         | (st["n_out"][reqs] >= st["max_news"][reqs])
-                        | (new_cursor >= L - 1)
                     )
                     st["active"] = st["active"] & ~finished
                     return st
@@ -433,7 +450,15 @@ class GenerationServer:
             ids = np.asarray(ids, np.int32)[-Pmax:]
             prompts[r, : len(ids)] = ids
             plens[r] = len(ids)
-        runner = self._workload_runner(R, Pmax, int(max_news.max()))
+        # iteration budget -> aligned-cursor cache length: one admission or
+        # pure-idle iteration per request plus ceil(sum budgets / slots)
+        # decode iterations, plus one straggler's full budget of slack
+        # (early EOS only frees slots earlier).  Rounded up to 128.
+        iters = R + int(np.ceil(max_news.sum() / self.S)) + int(
+            max_news.max()
+        )
+        Lc = Pmax + ((iters + 127) // 128) * 128
+        runner = self._workload_runner(R, Pmax, int(max_news.max()), Lc)
         out, n_out = runner(
             self.params, jnp.asarray(prompts), jnp.asarray(plens),
             jnp.asarray(max_news), self._next_key(),
