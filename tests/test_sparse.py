@@ -253,3 +253,45 @@ def test_splade_sketch_pipeline_with_guard(tmp_path, monkeypatch):
     # the guard settled on (sketch stage 2 rescoring is exact)
     for i_, row in enumerate(out["doc_id"]):
         assert row[0] == f"d{i_}"
+
+
+def test_partitioned_sketch_recall_and_cache_key(tmp_path):
+    """Frequency-partitioned sketch map: (a) dedicated head buckets lift
+    stage-1 candidate recall over the uniform count-sketch on Zipf-shaped
+    term mass, (b) the doc-sketch cache is keyed by the map so a cache
+    built under one head_frac is never reused with another's query map."""
+    from bergen_tpu.ops.sparse_sketch import SketchIndex
+
+    rng = np.random.default_rng(3)
+    V, N, nnz, Q, k = 2048, 4096, 24, 32, 10
+    pop = 1.0 / (np.arange(1, V + 1) ** 0.9)
+    pop /= pop.sum()
+    idx = rng.choice(V, size=(N, nnz), p=pop).astype(np.int32)
+    vals = rng.gamma(2.0, 0.5, size=(N, nnz)).astype(np.float32)
+    q_dense = np.zeros((Q, V), np.float32)
+    for i in range(Q):
+        qi = rng.choice(V, 16, p=pop)
+        q_dense[i, qi] = rng.gamma(2.0, 0.5, 16)
+    dd = np.zeros((N, V), np.float32)
+    np.add.at(dd, (np.repeat(np.arange(N), nnz), idx.ravel()), vals.ravel())
+    true_top = np.argsort(-(q_dense @ dd.T), axis=1)[:, :k]
+    mesh = get_mesh()
+
+    def recall(head_frac):
+        si = SketchIndex(mesh, vals, idx, V, d=128, candidates=64,
+                         head_frac=head_frac)
+        _, i = si.search(q_dense, k)
+        i = np.asarray(i)
+        return np.mean([len(set(i[q]) & set(true_top[q])) / k
+                        for q in range(Q)])
+
+    r_uniform, r_part = recall(0.0), recall(0.5)
+    assert r_part > r_uniform, (r_part, r_uniform)
+
+    # cache keying: two different maps under the same cache_path must write
+    # two distinct files (shape alone cannot distinguish them)
+    base = str(tmp_path / "sk.npy")
+    SketchIndex(mesh, vals, idx, V, d=128, head_frac=0.0, cache_path=base)
+    SketchIndex(mesh, vals, idx, V, d=128, head_frac=0.5, cache_path=base)
+    import glob
+    assert len(glob.glob(str(tmp_path / "sk_*.npy"))) == 2
