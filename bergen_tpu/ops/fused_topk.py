@@ -80,12 +80,15 @@ def quantize_bins_int8(x: np.ndarray, bin_: int = BIN):
 
 
 def supports(D: int, dtype) -> bool:
-    """Whether the fused kernel's VMEM budget accommodates this geometry."""
+    """Whether the fused kernel's VMEM budget accommodates this geometry.
+    The pallas_call pins vmem_limit_bytes=64 MB; 40 MB of modelled buffer
+    use leaves headroom for Mosaic's own temporaries (validated on-chip up
+    to D=10240 int8 — the SPLADE slab geometry)."""
     itemsize = 1 if dtype == jnp.int8 else 2
     block = _pick_block_docs(D, itemsize)
     # corpus block (x2 double-buffer) + transposed score tile + query tile
     vmem = 2 * block * D * itemsize + block * 512 * 4 + D * 512 * itemsize
-    return vmem < (14 << 20)
+    return vmem < (40 << 20)
 
 
 _I32_MIN = -(1 << 31) + 1
@@ -236,6 +239,11 @@ def bin_topk(
             flops=2 * Qp * Dp * Np, transcendentals=0,
             bytes_accessed=Np * Dp * itemsize + Dp * Qp * itemsize
             + n_bins * Qp * 8,
+        ),
+        # wide-D corpora (the SPLADE slab, D ~ 10k) need ~28 MB of VMEM for
+        # the double-buffered corpus block — above Mosaic's default budget
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(cp, qt, sc, valid[None, None])

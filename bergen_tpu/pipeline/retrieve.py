@@ -81,9 +81,11 @@ class Retrieve:
         scoring_dtype: str = "auto",
         topk_method: str = "auto",          # auto | exact | approx
         approx_recall_guard: float = 0.97,  # min measured top-k overlap
-        sparse_method: str = "auto",        # auto | exact | sketch
+        sparse_method: str = "auto",        # auto | exact | sketch | slab
         sketch_d: int = 1024,
         sketch_candidates: int = 512,
+        slab_d: int | None = None,          # None = HBM-budgeted auto width
+        slab_head_frac: float = 0.8,
     ):
         self.model = model if model is not None else confy.instantiate(
             init_args, batch_size=batch_size
@@ -107,13 +109,17 @@ class Retrieve:
         self.approx_recall_guard = approx_recall_guard
         # sparse (SPLADE) scoring engine: 'exact' = densify+GEMM
         # (ops/sparse.py, int8 when scoring_dtype=int8), 'sketch' =
-        # count-sketch candidates + exact rescoring (ops/sparse_sketch.py);
-        # 'auto' picks sketch on TPU for large corpora, guarded.
-        if sparse_method not in ("auto", "exact", "sketch"):
+        # count-sketch candidates + exact rescoring (ops/sparse_sketch.py),
+        # 'slab' = wide frequency-partitioned int8 slab scored as dense
+        # retrieval (ops/sparse_slab.py — the fast path); 'auto' picks slab
+        # on TPU for large corpora, guarded.
+        if sparse_method not in ("auto", "exact", "sketch", "slab"):
             raise ValueError(f"unknown sparse_method {sparse_method!r}")
         self.sparse_method = sparse_method
         self.sketch_d = sketch_d
         self.sketch_candidates = sketch_candidates
+        self.slab_d = slab_d
+        self.slab_head_frac = slab_head_frac
 
     # ------------------------------------------------------------------ #
     # indexing
@@ -290,11 +296,20 @@ class Retrieve:
                     jnp.asarray(scales, jnp.float32),
                     NamedSharding(mesh, P("data")),
                 )
-            use_sketch = self.sparse_method == "sketch" or (
+            use_slab = self.sparse_method == "slab" or (
                 self.sparse_method == "auto" and on_tpu
                 and len(docs) >= (1 << 17)
             )
-            sketch_index = None
+            use_sketch = self.sparse_method == "sketch"
+            sketch_index = slab_index = None
+            if use_slab:
+                from bergen_tpu.ops.sparse_slab import SlabIndex
+
+                slab_index = SlabIndex(
+                    mesh, d_vals, d_idx, vocab, d=self.slab_d,
+                    head_frac=self.slab_head_frac,
+                    cache_path=os.path.join(doc_index_path, "slab.npz"),
+                )
             if use_sketch:
                 from bergen_tpu.ops.sparse_sketch import SketchIndex
 
@@ -388,11 +403,13 @@ class Retrieve:
         )
 
         if sparse:
-            smethod = ("sketch" if use_sketch
+            smethod = ("slab" if use_slab else "sketch" if use_sketch
                        else "int8" if int8_scoring else "exact")
             sparse_guard = smethod != "exact"
 
             def score_sparse(q_np, sm):
+                if sm == "slab":
+                    return slab_index.search(q_np, k)
                 if sm == "sketch":
                     return sketch_index.search(q_np, k)
                 if sm == "int8":
@@ -425,8 +442,8 @@ class Retrieve:
                     if overlap < self.approx_recall_guard:
                         import logging
 
-                        fb = ("int8" if smethod == "sketch" and int8_scoring
-                              else "exact")
+                        fb = ("int8" if smethod in ("slab", "sketch")
+                              and int8_scoring else "exact")
                         logging.getLogger(__name__).warning(
                             "sparse %s top-k overlap %.4f < guard %.2f — "
                             "falling back to %s", smethod, overlap,

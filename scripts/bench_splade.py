@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--sketch-d", type=int, default=1024)
     ap.add_argument("--candidates", type=int, default=512)
+    ap.add_argument("--slab-d", type=int, default=None)
+    ap.add_argument("--slab-head-frac", type=float, default=0.8)
+    ap.add_argument(
+        "--engine", choices=("all", "slab"), default="all",
+        help="'slab' measures only the wide-slab engine plus the exact bf16 "
+             "reference (the full matrix re-measures every engine)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -92,7 +99,7 @@ def main():
     d_vals16 = d_vals.astype(np.float16)
     results = {}
 
-    def timed(fn_call, arrays, n_iters):
+    def timed(fn_call, arrays, n_iters, q_host=None):
         # the corpus arrays MUST be jit arguments: closed-over device arrays
         # get baked into the program as giant constants (1.5 GB of HLO at
         # 1M docs — the compile never returns through the tunnel)
@@ -107,7 +114,7 @@ def main():
             acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), q))
             return acc
 
-        q = jnp.asarray(q_dense, jnp.float32)
+        q = jnp.asarray(q_dense if q_host is None else q_host, jnp.float32)
         return _timed_chained(lambda n: float(chained(q, arrays, n)), n_iters)
 
     # ---- exact bf16 densify ------------------------------------------------
@@ -116,19 +123,86 @@ def main():
         mesh, d_vals16, d_idx, dtype=dtype
     )
     _log("exact bf16")
-    dt = timed(
-        lambda cur, vd, ix: sparse_ops.sharded_sparse_topk(
-            mesh, cur.astype(dtype), vd, ix, TOP_K, VOCAB, valid_n=valid_n,
-        ),
-        (vals_dev, idx_dev),
-        4 if on_tpu else 2,
-    )
-    results["exact_bf16_qps"] = Q_BATCH / dt
+    if args.engine != "slab":  # slab mode: reference ranking only, no timing
+        dt = timed(
+            lambda cur, vd, ix: sparse_ops.sharded_sparse_topk(
+                mesh, cur.astype(dtype), vd, ix, TOP_K, VOCAB, valid_n=valid_n,
+            ),
+            (vals_dev, idx_dev),
+            4 if on_tpu else 2,
+        )
+        results["exact_bf16_qps"] = Q_BATCH / dt
     v_ref, i_ref = sparse_ops.sharded_sparse_topk(
         mesh, jnp.asarray(q_dense, dtype), vals_dev, idx_dev, TOP_K, VOCAB,
         valid_n=valid_n,
     )
     i_ref = np.asarray(i_ref)
+
+    # ---- wide slab (frequency-partitioned int8, zero query-time scatter) ---
+    if args.engine in ("all", "slab"):
+        from bergen_tpu.ops import fused_topk
+        from bergen_tpu.ops.sparse_slab import SlabIndex, queries_to_slab
+
+        # release the exact-path corpus before the 10+ GB slab lands
+        del vals_dev, idx_dev
+        _log("slab build")
+        t0 = time.time()
+        slab = SlabIndex(
+            mesh, d_vals, d_idx, VOCAB, d=args.slab_d,
+            head_frac=args.slab_head_frac,
+            cache_path=f"/tmp/splade_slab_{N}.npz",
+        )
+        results["slab_d"] = slab.d
+        results["slab_build_s"] = time.time() - t0
+        _log(f"slab search (d={slab.d})")
+        q_slab = queries_to_slab(q_dense, slab.bucket, slab.sign, slab.d)
+        dt_sl = timed(
+            lambda cur, cd, sc: fused_topk.sharded_bin_topk(
+                mesh, cur, cd, TOP_K, valid_n=slab.valid_n, doc_scales=sc,
+                interpret=not on_tpu,
+            ),
+            (slab.codes_dev, slab.scales_dev),
+            8 if on_tpu else 2,
+            q_host=q_slab,
+        )
+        results["slab_qps"] = Q_BATCH / dt_sl
+        if on_tpu:
+            # query-amortized (Q=4096): the slab GEMM is FLOP-bound, so QPS
+            # should hold roughly flat — measured to confirm
+            qa_vals_s, qa_idx_s = zipf_sparse(rng, 4096, Q_TERMS, alpha=1.05)
+            qa_dense_s = np.zeros((4096, VOCAB), np.float32)
+            np.put_along_axis(qa_dense_s, qa_idx_s, qa_vals_s, axis=1)
+            qa_slab = queries_to_slab(
+                qa_dense_s, slab.bucket, slab.sign, slab.d
+            )
+            dt_sl4k = timed(
+                lambda cur, cd, sc: fused_topk.sharded_bin_topk(
+                    mesh, cur, cd, TOP_K, valid_n=slab.valid_n,
+                    doc_scales=sc,
+                ),
+                (slab.codes_dev, slab.scales_dev),
+                4,
+                q_host=qa_slab,
+            )
+            results["slab_q4096_qps"] = 4096 / dt_sl4k
+            del qa_slab
+        _, i_sl = slab.search(q_dense, TOP_K, fused=on_tpu)
+        results["slab_vs_exact_overlap"] = float(np.mean([
+            len(set(np.asarray(i_sl)[r]) & set(i_ref[r])) / TOP_K
+            for r in range(Q_BATCH)
+        ]))
+        del slab, q_slab
+        if args.engine == "slab":
+            results["n_docs"] = N
+            results["backend"] = jax.default_backend()
+            print(json.dumps(results, indent=2))
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=2)
+            return
+        vals_dev, idx_dev, valid_n = sparse_ops.shard_sparse_corpus(
+            mesh, d_vals16, d_idx, dtype=dtype
+        )
 
     # ---- exact int8 densify ------------------------------------------------
     codes_dev, idx_dev8, scales_dev, _ = sparse_ops.shard_sparse_corpus(
