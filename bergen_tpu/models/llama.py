@@ -249,6 +249,26 @@ def cache_shardings(model_axis: str = "model"):
     }
 
 
+def init_paged_cache(cfg: LlamaConfig, n_pages: int, slots: int,
+                     max_pages: int, dtype=jnp.bfloat16):
+    """Paged decode cache (serve/engine paged mode): a shared pool of
+    128-token pages plus a per-slot partial-page tail — HBM held is
+    proportional to ACTUAL sequence lengths, not ``slots x max_len``
+    (vLLM's paged KV idea, ops/paged_attention.py)."""
+    from bergen_tpu.ops.paged_attention import PAGE
+
+    kh, dh, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    return {
+        "k_pool": jnp.zeros((L, n_pages, kh, PAGE, dh), dtype),
+        "v_pool": jnp.zeros((L, n_pages, kh, PAGE, dh), dtype),
+        "k_tail": jnp.zeros((L, slots, kh, PAGE, dh), dtype),
+        "v_tail": jnp.zeros((L, slots, kh, PAGE, dh), dtype),
+        "tables": jnp.zeros((slots, max_pages), jnp.int32),
+        "lengths": jnp.zeros((slots,), jnp.int32),
+        "starts": jnp.zeros((slots,), jnp.int32),
+    }
+
+
 # --------------------------------------------------------------------------- #
 # forward
 # --------------------------------------------------------------------------- #
@@ -295,6 +315,61 @@ def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def _qkv(layer: Params, cfg: LlamaConfig, x: jnp.ndarray,
+         positions: jnp.ndarray, inv_freq: jnp.ndarray):
+    """Shared q/k/v projection + RoPE (standard and paged attention)."""
+    B, S, _ = x.shape
+    H, KH, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = _proj(layer["attn"]["q"], x).reshape(B, S, H, Dh)
+    k = _proj(layer["attn"]["k"], x).reshape(B, S, KH, Dh)
+    v = _proj(layer["attn"]["v"], x).reshape(B, S, KH, Dh)
+    q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
+    k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+    return q, k, v
+
+
+def _attention_paged(
+    layer: Params,
+    cfg: LlamaConfig,
+    x: jnp.ndarray,          # [S_slots, 1, D] — one decode token per slot
+    positions: jnp.ndarray,  # [S_slots, 1]
+    inv_freq: jnp.ndarray,
+    k_pools: jnp.ndarray,    # [L, NP, KH, PAGE, Dh] stacked page pools
+    v_pools: jnp.ndarray,
+    k_tails: jnp.ndarray,    # [L, S_slots, KH, PAGE, Dh] stacked tails
+    v_tails: jnp.ndarray,
+    li: int,
+    tables: jnp.ndarray,     # [S_slots, maxP]
+    lengths: jnp.ndarray,    # [S_slots] storage positions before this step
+    starts: jnp.ndarray | None = None,  # [S_slots] leading bucket padding
+):
+    """Paged decode attention (ops/paged_attention.py): writes this token's
+    K/V into the slot tail and attends over (full pages ∪ tail) in place.
+    Page flush + lengths increment happen once per step in ``forward``."""
+    from bergen_tpu.ops import paged_attention as _pa
+
+    B = x.shape[0]
+    H, Dh = cfg.num_heads, cfg.head_dim
+    q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None
+        else 1.0 / math.sqrt(Dh)
+    )
+    ctx, kt, vt = _pa.paged_decode_attention(
+        q[:, 0], k[:, 0], v[:, 0], k_pools[li], v_pools[li],
+        k_tails[li], v_tails[li], tables, lengths, scale, starts=starts,
+    )
+    k_tails = jax.lax.dynamic_update_slice(
+        k_tails, kt[None].astype(k_tails.dtype), (li, 0, 0, 0, 0)
+    )
+    v_tails = jax.lax.dynamic_update_slice(
+        v_tails, vt[None].astype(v_tails.dtype), (li, 0, 0, 0, 0)
+    )
+    out = _proj(layer["attn"]["o"], ctx.reshape(B, 1, H * Dh))
+    return out, k_tails, v_tails
+
+
 # Flash-attention prefill switch: None = auto (Pallas kernel on TPU, einsum
 # elsewhere); True/False force. Decode steps (S=1) always use the einsum path.
 USE_FLASH_PREFILL: bool | None = None
@@ -327,11 +402,7 @@ def _attention(
     B, S, D = x.shape
     H, KH, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = _proj(layer["attn"]["q"], x).reshape(B, S, H, Dh)
-    k = _proj(layer["attn"]["k"], x).reshape(B, S, KH, Dh)
-    v = _proj(layer["attn"]["v"], x).reshape(B, S, KH, Dh)
-    q = apply_rope(q, positions, inv_freq, cfg.rope_interleaved)
-    k = apply_rope(k, positions, inv_freq, cfg.rope_interleaved)
+    q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
 
     if cursor.ndim == 1:
         # per-row cursors (serving slot-pool decode: each slot is at its own
@@ -502,7 +573,22 @@ def forward(
     )
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), x.dtype)
-    cursor = cache["cursor"]
+    paged = "k_pool" in cache
+    if paged:
+        # paged decode (init_paged_cache): one token per slot, attn_mask is
+        # ignored — masking derives from per-slot lengths.  Families whose
+        # attention is not plain scaled softmax need kernel support first.
+        if x.shape[1] != 1:
+            raise NotImplementedError("paged cache is decode-only (S == 1); "
+                                      "prefill writes pages directly")
+        if cfg.attn_logit_softcap or (cfg.post_norms and cfg.sliding_window):
+            raise NotImplementedError(
+                "paged attention does not yet support gemma-2 logit softcap "
+                "/ sliding-window layers — use the slot-pool cache"
+            )
+        cursor = None
+    else:
+        cursor = cache["cursor"]
 
     def _outlier_ratio(h):
         # per-token absmax/rms, maxed over the batch: the signal-to-rounding
@@ -515,17 +601,28 @@ def forward(
         return jnp.max(absmax / rms)
 
     stats = []
-    k_all, v_all = cache["k"], cache["v"]
+    if paged:
+        k_all, v_all = cache["k_tail"], cache["v_tail"]  # mutated per layer
+    else:
+        k_all, v_all = cache["k"], cache["v"]
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["attn_norm"], x, cfg)
         if collect_stats:
             stats.append(_outlier_ratio(h))
-        a, k_all, v_all = _attention(
-            layer, cfg, h, positions, inv_freq, k_all, v_all, li, cursor,
-            attn_mask,
-            # gemma-2 interleaves local/global attention: even layers sliding
-            sliding=cfg.post_norms and li % 2 == 0,
-        )
+        if paged:
+            a, k_all, v_all = _attention_paged(
+                layer, cfg, h, positions, inv_freq, cache["k_pool"],
+                cache["v_pool"], k_all, v_all, li, cache["tables"],
+                cache["lengths"], starts=cache.get("starts"),
+            )
+        else:
+            a, k_all, v_all = _attention(
+                layer, cfg, h, positions, inv_freq, k_all, v_all, li, cursor,
+                attn_mask,
+                # gemma-2 interleaves local/global attention: even layers
+                # sliding
+                sliding=cfg.post_norms and li % 2 == 0,
+            )
         if cfg.parallel_block:
             # cohere: attention and MLP both read the same normed input,
             # both outputs join the residual (single norm per layer)
@@ -558,13 +655,36 @@ def forward(
     if cfg.final_logit_softcap:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
-    new_cache = {
-        "k": k_all,
-        "v": v_all,
-        "cursor": cursor + (
-            input_ids.shape[1] if input_embeds is None else input_embeds.shape[1]
-        ),
-    }
+    if paged:
+        from bergen_tpu.ops.paged_attention import flush_full_pages
+
+        # inactive slots do not advance (their tail write lands on the next
+        # unused position and is overwritten on slot reuse — harmless)
+        active = cache.get("active")
+        step = 1 if active is None else active.astype(jnp.int32)
+        lengths_after = cache["lengths"] + step
+        k_pool, v_pool = flush_full_pages(
+            cache["k_pool"], cache["v_pool"], k_all, v_all,
+            cache["tables"], lengths_after, active=active,
+        )
+        new_cache = {
+            "k_pool": k_pool, "v_pool": v_pool,
+            "k_tail": k_all, "v_tail": v_all,
+            "tables": cache["tables"], "lengths": lengths_after,
+        }
+        if "starts" in cache:
+            new_cache["starts"] = cache["starts"]
+        if active is not None:
+            new_cache["active"] = active
+    else:
+        new_cache = {
+            "k": k_all,
+            "v": v_all,
+            "cursor": cursor + (
+                input_ids.shape[1] if input_embeds is None
+                else input_embeds.shape[1]
+            ),
+        }
     if collect_stats:
         return logits, new_cache, jnp.stack(stats)
     return logits, new_cache

@@ -30,6 +30,7 @@ SLOW_MODULES = {
     "test_training", "test_tensor_parallel", "test_evaluate_llm_cli",
     "test_flash_llama", "test_flash_encoder", "test_deberta",
     "test_dense_retrieval", "test_remote_encoders", "test_evaluators",
+    "test_paged_serving", "test_paged_llama",
 }
 
 
