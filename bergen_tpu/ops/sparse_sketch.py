@@ -49,7 +49,7 @@ from bergen_tpu.ops.scoring import quantize_rows_int8
 
 def sketch_map(vocab: int, d: int, seed: int = 0,
                term_mass: np.ndarray | None = None,
-               head_frac: float = 0.5):
+               head_frac: float = 0.5, tail_assign: str = "random"):
     """Sketch hash: (bucket [vocab] int32, sign [vocab] f32).
 
     With ``term_mass`` (corpus impact mass per term, sum_docs |val|), the map
@@ -82,7 +82,18 @@ def sketch_map(vocab: int, d: int, seed: int = 0,
     tail = order[d_head:]
     bucket[head] = np.arange(d_head, dtype=np.int32)
     sign[head] = 1.0
-    bucket[tail] = d_head + rng.integers(0, d_tail, tail.size).astype(np.int32)
+    if tail_assign == "balanced":
+        # mass-balanced round-robin: tail terms sorted by mass spread evenly,
+        # so no bucket accumulates several heavy terms — strictly lower max
+        # collision product than random hashing at the same width (the heavy
+        # terms are exactly the likely collision noise sources)
+        bucket[tail] = d_head + (
+            np.arange(tail.size, dtype=np.int32) % d_tail
+        )
+    else:
+        bucket[tail] = d_head + rng.integers(
+            0, d_tail, tail.size
+        ).astype(np.int32)
     sign[tail] = rng.choice(np.asarray([-1.0, 1.0], np.float32), tail.size)
     return bucket, sign
 

@@ -166,6 +166,30 @@ def main():
             q_host=q_slab,
         )
         results["slab_qps"] = Q_BATCH / dt_sl
+        # stage-2 exact rescore (host C++): timed separately — in the
+        # pipeline it pipelines against the next batch's device GEMM, so
+        # the conservative combined rate is Q / (t_gemm + t_rescore)
+        from bergen_tpu.ops.sparse_slab import rescore_exact
+        C = 4 * TOP_K
+        _, cand = fused_topk.sharded_bin_topk(
+            mesh, jnp.asarray(q_slab), slab.codes_dev, C,
+            valid_n=slab.valid_n, doc_scales=slab.scales_dev,
+            interpret=not on_tpu,
+        )
+        cand = np.asarray(cand, np.int32)
+        rescore_exact(slab._vals32, slab._idx32, cand[:8], q_dense[:8])
+        t0r = time.time()
+        s_re = rescore_exact(slab._vals32, slab._idx32, cand, q_dense)
+        dt_re = time.time() - t0r
+        results["rescore_c"] = C
+        results["rescore_host_s_per_batch"] = dt_re
+        results["slab_rescore_qps"] = Q_BATCH / (dt_sl + dt_re)
+        ord_ = np.argsort(-s_re, axis=1, kind="stable")[:, :TOP_K]
+        i_re = np.take_along_axis(cand, ord_, axis=1)
+        results["slab_rescore_vs_exact_overlap"] = float(np.mean([
+            len(set(i_re[r]) & set(i_ref[r])) / TOP_K
+            for r in range(Q_BATCH)
+        ]))
         if on_tpu:
             # query-amortized (Q=4096): the slab GEMM is FLOP-bound, so QPS
             # should hold roughly flat — measured to confirm

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from bergen_tpu.ops import sparse as sparse_ops
 from bergen_tpu.ops.sparse_slab import (
     SlabIndex, build_slab_int8, default_width, queries_to_slab,
+    rescore_exact,
 )
 from bergen_tpu.ops.sparse_sketch import sketch_map, term_impact_mass
 from bergen_tpu.parallel import get_mesh
@@ -50,7 +51,7 @@ def test_all_head_slab_matches_exact(slab_data):
     mesh = get_mesh()
     slab = SlabIndex(mesh, vals, idx, V, d=V + 128, head_frac=1.0)
     assert np.all(slab.sign == 1.0)
-    v_s, i_s = slab.search(q, 10, fused=False)
+    v_s, i_s = slab.search(q, 10, fused=False, rescore=0)
     _, i_ref = _exact_topk(q, docs, 10)
     overlap = np.mean([
         len(set(np.asarray(i_s)[r]) & set(i_ref[r])) / 10
@@ -66,7 +67,7 @@ def test_hashed_tail_slab_overlap(slab_data):
     q, docs, vals, idx, V = slab_data
     mesh = get_mesh()
     slab = SlabIndex(mesh, vals, idx, V, d=512, head_frac=0.75)
-    v_s, i_s = slab.search(q, 10, fused=False)
+    v_s, i_s = slab.search(q, 10, fused=False, rescore=0)
     _, i_ref = _exact_topk(q, docs, 10)
     overlap = np.mean([
         len(set(np.asarray(i_s)[r]) & set(i_ref[r])) / 10
@@ -75,6 +76,74 @@ def test_hashed_tail_slab_overlap(slab_data):
     assert overlap >= 0.8, overlap
     # the planted doc dominates its query: rank-1 agreement with exact
     assert np.mean(np.asarray(i_s)[:, 0] == i_ref[:, 0]) >= 0.9
+
+
+def test_rescore_exact_matches_dense(slab_data):
+    """rescore_exact (C++ or numpy) == dense dot at the candidate rows."""
+    q, docs, vals, idx, V = slab_data
+    rng = np.random.default_rng(3)
+    cand = rng.integers(0, docs.shape[0], (q.shape[0], 7)).astype(np.int32)
+    s = rescore_exact(vals, idx, cand, q)
+    ref = np.take_along_axis(q @ docs.T, cand, axis=1)
+    # vals are f16 (the fixed-width store dtype): ~1e-3 relative floor
+    np.testing.assert_allclose(s, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_rescore_numpy_fallback_matches_native(slab_data, monkeypatch):
+    q, docs, vals, idx, V = slab_data
+    rng = np.random.default_rng(4)
+    cand = rng.integers(0, docs.shape[0], (q.shape[0], 5)).astype(np.int32)
+    s_native = rescore_exact(vals, idx, cand, q)
+    import bergen_tpu.ops.sparse_slab as slab_mod
+    monkeypatch.setattr(slab_mod, "_load_rescore_lib", lambda: None)
+    s_np = rescore_exact(vals, idx, cand, q)
+    np.testing.assert_allclose(s_native, s_np, rtol=1e-5, atol=1e-5)
+
+
+def test_search_rescore_recovers_exact_topk(slab_data):
+    """A deliberately narrow slab (heavy collisions) + stage-2 rescore must
+    return the exact ranking: collisions only cost candidate recall, and at
+    rescore x4 the true winners are safely inside the candidate set."""
+    q, docs, vals, idx, V = slab_data
+    mesh = get_mesh()
+    slab = SlabIndex(mesh, vals, idx, V, d=256, head_frac=0.5)
+    v_s, i_s = slab.search(q, 10, fused=False, rescore=8)
+    v_ref, i_ref = _exact_topk(q, docs, 10)
+    overlap = np.mean([
+        len(set(np.asarray(i_s)[r]) & set(i_ref[r])) / 10
+        for r in range(q.shape[0])
+    ])
+    assert overlap >= 0.97, overlap
+    # returned scores are the EXACT sparse dots, not slab estimates
+    ref_at = np.take_along_axis(q @ docs.T, np.asarray(i_s), axis=1)
+    np.testing.assert_allclose(np.asarray(v_s), ref_at, rtol=2e-3, atol=2e-3)
+
+
+def test_rescore_rejects_out_of_range_candidates(slab_data):
+    q, docs, vals, idx, V = slab_data
+    cand = np.asarray([[0, docs.shape[0]]], np.int32)  # second id = padding
+    with pytest.raises(ValueError):
+        rescore_exact(vals, idx, cand, q[:1])
+
+
+def test_search_rescore_handles_device_padding(slab_data):
+    """Tiny corpus on the 8-device mesh: per-shard padding rows outnumber
+    valid docs, so stage-1 candidates INCLUDE padding ids — search must
+    clamp them (regression: the C++ rescorer segfaulted on a padded id's
+    garbage idx row)."""
+    q, docs, vals, idx, V = slab_data
+    mesh = get_mesh()
+    n_small = 72  # 9 valid docs per shard, 119 padding rows
+    slab = SlabIndex(mesh, vals[:n_small], idx[:n_small], V, d=256,
+                     head_frac=0.5)
+    v_s, i_s = slab.search(q, 5, fused=False, rescore=8)
+    assert np.all(np.asarray(i_s) >= 0) and np.all(np.asarray(i_s) < n_small)
+    _, i_ref = _exact_topk(q, docs[:n_small], 5)
+    overlap = np.mean([
+        len(set(np.asarray(i_s)[r]) & set(i_ref[r])) / 5
+        for r in range(q.shape[0])
+    ])
+    assert overlap >= 0.97, overlap
 
 
 def test_queries_to_slab_matches_projection(slab_data):
