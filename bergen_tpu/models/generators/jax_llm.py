@@ -42,6 +42,9 @@ class LLM(Generator):
         # static length-bucketed batches
         max_slots: int = 32,  # measured sweet spot for the aligned-cursor
         # drain on v5e (documentation/performance.md serving table)
+        kv_cache: str = "uniform",  # 'paged' = vLLM-style page-pool KV
+        # (serve/paged.py): slots hold pages ~ their ACTUAL length, so the
+        # same HBM admits more concurrent slots on mixed-length workloads
 
         # sampling / search (reference vllm.py:61-78 SamplingParams):
         # temperature 0 = greedy; use_beam_search + best_of>1 = beam search
@@ -212,21 +215,32 @@ class LLM(Generator):
         self.server = None
         if serve:
             from bergen_tpu.serve.engine import GenerationServer
+            from bergen_tpu.serve.paged import PagedGenerationServer
 
             # reserve headroom for generated tokens beyond the prompt bucket
             serve_len = (max_length or 2048) + max_new_tokens + 1
-            self.server = GenerationServer(
+            common = dict(
                 params=self.params, cfg=self.cfg,
                 eos_token_id=self.tokenizer.eos_token_id,
                 pad_token_id=self.tokenizer.pad_token_id,
                 max_slots=max_slots, max_len=serve_len,
-                prompt_buckets=tuple(self.buckets),
                 dtype=self.dtype,
-                mesh=self.mesh if tp > 1 else None,
                 # sampling runs inside the engine's decode step (round 2
                 # silently bypassed the server for temperature>0)
                 temperature=temperature, top_p=top_p, seed=seed,
             )
+            if kv_cache == "paged":
+                # page-pool KV: no per-slot max_len reservation; tensor
+                # parallelism pending for the paged layout (mesh unused)
+                self.server = PagedGenerationServer(**common)
+            elif kv_cache == "uniform":
+                self.server = GenerationServer(
+                    prompt_buckets=tuple(self.buckets),
+                    mesh=self.mesh if tp > 1 else None,
+                    **common,
+                )
+            else:
+                raise ValueError(f"unknown kv_cache mode: {kv_cache!r}")
 
     # ------------------------------------------------------------------ #
 

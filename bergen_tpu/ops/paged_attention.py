@@ -132,29 +132,49 @@ def paged_partial_xla(q: jnp.ndarray, k_pool: jnp.ndarray,
 # --------------------------------------------------------------------------- #
 
 
-def _paged_kernel(tbl_ref, npg_ref, start_ref, q_ref, k_ref, v_ref,
-                  acc_ref, m_ref, l_ref, accs, ms, ls, *, KH, G, scale,
-                  max_p):
+def _paged_kernel(tbl_ref, npg_ref, start_ref, q_ref, k_hbm, v_hbm,
+                  acc_ref, m_ref, l_ref, kbuf, vbuf, accs, ms, ls, sem,
+                  *, KH, G, scale):
+    """One grid step per SLOT; the slot's live pages stream through two
+    VMEM buffers with manually issued double-buffered DMAs.
+
+    The first cut of this kernel used a (S, max_pages) grid — one tiny
+    (page-sized) block per step.  400 grid steps of ~256 KB made decode
+    DMA-LATENCY-bound: ~0.95 ms/layer where the page reads are worth
+    ~0.07 ms of bandwidth, and paged decode LOST to uniform slots end to
+    end (scripts/bench_paged.py round-3 first run: 0.96x).  Per-slot grid +
+    in-kernel pipelining amortises the per-step cost over all of a slot's
+    pages and prefetches page i+1 while page i computes."""
     s = pl.program_id(0)
-    p = pl.program_id(1)
+    npg = npg_ref[s]
+    start = start_ref[s]
+    p0 = start // PAGE  # pages fully inside leading padding: skipped
 
-    @pl.when(p == 0)
-    def _init():
-        accs[:] = jnp.zeros_like(accs)
-        ms[:] = jnp.full_like(ms, _NEG)
-        ls[:] = jnp.zeros_like(ls)
+    accs[:] = jnp.zeros_like(accs)
+    ms[:] = jnp.full_like(ms, _NEG)
+    ls[:] = jnp.zeros_like(ls)
 
-    # pages entirely inside the leading bucket padding hold no real tokens
-    @pl.when((p < npg_ref[s]) & ((p + 1) * PAGE > start_ref[s]))
-    def _compute():
+    def issue(i, slot):
+        page = tbl_ref[s, i]
+        pltpu.make_async_copy(
+            k_hbm.at[page], kbuf.at[slot], sem.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[page], vbuf.at[slot], sem.at[slot, 1]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            k_hbm.at[0], kbuf.at[slot], sem.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[0], vbuf.at[slot], sem.at[slot, 1]).wait()
+
+    def compute(i, slot):
         q = q_ref[0]  # [H, Dh]
-        # leading-pad mask within this page: lane j is real iff
-        # p*PAGE + j >= start
+        # leading-pad mask within this page: lane j real iff i*PAGE+j>=start
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAGE), 1)
-        pad_mask = (p * PAGE + lane) < start_ref[s]   # [1, PAGE]
+        pad_mask = (i * PAGE + lane) < start   # [1, PAGE]
         for h in range(KH):  # static unroll: KH is small (1-16)
-            k = k_ref[0, h]  # [PAGE, Dh]
-            v = v_ref[0, h]
+            k = kbuf[slot, h]  # [PAGE, Dh]
+            v = vbuf[slot, h]
             qh = q[h * G:(h + 1) * G]  # [G, Dh]
             sc = jax.lax.dot_general(
                 qh, k, (((1,), (1,)), ((), ())),
@@ -176,11 +196,42 @@ def _paged_kernel(tbl_ref, npg_ref, start_ref, q_ref, k_ref, v_ref,
             )
             ms[rows] = m_new
 
-    @pl.when(p == max_p - 1)
-    def _emit():
-        acc_ref[0] = accs[:]
-        m_ref[0] = ms[:]
-        l_ref[0] = ls[:]
+    # prologue: fill both buffers (static slot ids keep the DMA targets
+    # compile-time-known; the page loop below consumes/re-issues in pairs)
+    @pl.when(p0 < npg)
+    def _():
+        issue(p0, 0)
+
+    @pl.when(p0 + 1 < npg)
+    def _():
+        issue(p0 + 1, 1)
+
+    def pair_body(j, _):
+        i0 = p0 + 2 * j
+        wait(0)
+        compute(i0, 0)
+
+        @pl.when(i0 + 2 < npg)
+        def _():
+            issue(i0 + 2, 0)
+
+        @pl.when(i0 + 1 < npg)
+        def _():
+            wait(1)
+            compute(i0 + 1, 1)
+
+            @pl.when(i0 + 3 < npg)
+            def _():
+                issue(i0 + 3, 1)
+
+        return 0
+
+    n_pairs = jnp.maximum(npg - p0 + 1, 0) // 2
+    jax.lax.fori_loop(0, n_pairs, pair_body, 0, unroll=False)
+
+    acc_ref[0] = accs[:]
+    m_ref[0] = ms[:]
+    l_ref[0] = ls[:]
 
 
 def paged_partial_pallas(q: jnp.ndarray, k_pool: jnp.ndarray,
@@ -195,29 +246,22 @@ def paged_partial_pallas(q: jnp.ndarray, k_pool: jnp.ndarray,
     S, H, Dh = q.shape
     KH = k_pool.shape[1]
     G = H // KH
-    maxP = tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(n_pages)
 
-    def q_map(s, p, tbl, npg, st):
+    def q_map(s, tbl, npg, st):
         return (s, 0, 0)
 
-    def kv_map(s, p, tbl, npg, st):
-        # clamp unused grid steps to the slot's page 0: the DMA must fetch
-        # something in-bounds; the kernel skips the compute
-        safe = jnp.where(p < npg[s], p, 0)
-        return (tbl[s, safe], 0, 0, 0)
-
-    def out_map(s, p, tbl, npg, st):
+    def out_map(s, tbl, npg, st):
         return (s, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(S, maxP),
+        grid=(S,),
         in_specs=[
             pl.BlockSpec((1, H, Dh), q_map),
-            pl.BlockSpec((1, KH, PAGE, Dh), kv_map),
-            pl.BlockSpec((1, KH, PAGE, Dh), kv_map),
+            pl.BlockSpec(memory_space=pl.ANY),  # page pools stay in HBM;
+            pl.BlockSpec(memory_space=pl.ANY),  # the kernel DMAs pages
         ],
         out_specs=[
             pl.BlockSpec((1, H, Dh), out_map),
@@ -225,13 +269,15 @@ def paged_partial_pallas(q: jnp.ndarray, k_pool: jnp.ndarray,
             pl.BlockSpec((1, H, PAGE), out_map),
         ],
         scratch_shapes=[
+            pltpu.VMEM((2, KH, PAGE, Dh), k_pool.dtype),
+            pltpu.VMEM((2, KH, PAGE, Dh), v_pool.dtype),
             pltpu.VMEM((H, Dh), jnp.float32),
             pltpu.VMEM((H, PAGE), jnp.float32),
             pltpu.VMEM((H, PAGE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    kern = functools.partial(_paged_kernel, KH=KH, G=G, scale=scale,
-                             max_p=maxP)
+    kern = functools.partial(_paged_kernel, KH=KH, G=G, scale=scale)
     acc, m, l = pl.pallas_call(
         kern,
         out_shape=[

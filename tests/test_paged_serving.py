@@ -99,6 +99,29 @@ def test_paged_pool_admission_blocks_until_free(cfg_params):
         assert _cut(results[rid], max_new) == [int(t) for t in r][:max_new]
 
 
+def test_llm_generator_paged_serve_matches_batched(tmp_path):
+    """LLM(serve=True, kv_cache='paged') routes through the paged server
+    and greedy outputs match the static batched path token-for-token."""
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tiny_models import build_tiny_llama
+    from bergen_tpu.models.generators.jax_llm import LLM
+    from bergen_tpu.serve.paged import PagedGenerationServer
+
+    d = build_tiny_llama(str(tmp_path / "llama"))
+    kw = dict(model_name=d, max_new_tokens=6, max_length=64, batch_size=4)
+    base = LLM(**kw)
+    served = LLM(serve=True, kv_cache="paged", max_slots=3, **kw)
+    assert isinstance(served.server, PagedGenerationServer)
+    prompts = [
+        "user : what is the capital \n assistant : ",
+        "user : tell me about the river bank and the fish \n assistant : ",
+        "user : hello \n assistant : ",
+        "user : why \n assistant : ",
+    ]
+    assert served.generate(prompts) == base.generate(prompts)
+
+
 def test_paged_memory_footprint_smaller():
     """The headline property: at equal HBM the paged pool admits more
     concurrent sequences than uniform slots (here: same bytes, 2x slots)."""
