@@ -3,7 +3,9 @@ sharding/collective code paths run without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # forced (not setdefault): the login
+# shell exports JAX_PLATFORMS=axon, and subprocesses spawned by tests must
+# inherit the CPU forcing or they hang retrying the TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,12 +13,31 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 os.environ.setdefault("HF_DATASETS_DISABLE_PROGRESS_BARS", "1")
+# Silence the XLA:CPU AOT loader's per-entry machine-feature errors when
+# reloading persistent-cache entries (the compile records prefer-no-scatter/
+# prefer-no-gather pseudo-features the host check doesn't list; on this fixed
+# single host the executables are identical).  Forced, not setdefault: the
+# login shell exports level 1, which still prints E-level spam.  Genuine
+# failures surface as Python exceptions regardless.  Must precede XLA C++
+# init.
+os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
 # before any backend initialisation.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (many tiny
+# models, each jitted once), so caching compiled executables across runs cuts
+# the full-suite wall clock roughly in half after the first populate run.
+# Entries under 0.5 s of compile time are not worth the disk churn.
+if not os.environ.get("BERGEN_TPU_NO_TEST_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
