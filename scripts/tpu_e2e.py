@@ -68,6 +68,8 @@ def _build_models(models_dir: str) -> dict:
         "ce": build_tiny_bert(os.path.join(models_dir, "ce"), num_labels=1,
                               seed=3),
         "llama": build_tiny_llama(os.path.join(models_dir, "llama"), seed=0),
+        "mlm": build_tiny_bert(os.path.join(models_dir, "mlm"),
+                               with_mlm=True, seed=5),
     }
 
 
@@ -119,6 +121,17 @@ RUNS = {
         "+generator.init_args.serve=true",
         "+generator.init_args.quantization=w8a8",
     ],
+    # sparse retrieval through the wide-slab engine (stage-1 int8 slab GEMM
+    # + stage-2 exact host rescore), recall guard live — the round-3 SPLADE
+    # fast path against real pipeline artifacts
+    "c_splade_slab": [
+        "retriever=spladev3",
+        "retriever.init_args.model_name={mlm}",
+        "retriever.init_args.max_len=64",
+        "retriever.init_args.nnz=32",
+        "retriever.batch_size=64",
+        "+retriever.sparse_method=slab",
+    ],
 }
 
 
@@ -139,6 +152,7 @@ def run_backend(backend: str, out_dir: str, models_dir: str) -> None:
     for name, extra in RUNS.items():
         work = os.path.join(out_dir, "work_" + name)
         shutil.rmtree(work, ignore_errors=True)
+        extra = [e.format(**models) for e in extra]
         cfg = _compose(work, models, extra)
         t0 = time.time()
         if name.startswith("a_parity"):

@@ -255,6 +255,66 @@ def test_splade_sketch_pipeline_with_guard(tmp_path, monkeypatch):
         assert row[0] == f"d{i_}"
 
 
+def test_splade_slab_pipeline_with_guard(tmp_path):
+    """Pipeline-level wide-slab path (the shipped TPU default for sparse
+    retrieval): SlabIndex build + search through Retrieve, guard fidelity
+    recorded, stage-2 exact rescore making the returned ranking exact."""
+    from datasets import Dataset
+
+    from bergen_tpu.pipeline.retrieve import Retrieve
+
+    V, N, Q = 512, 384, 8
+
+    class FakeSparseModel:
+        is_sparse = True
+
+        def encode_sparse(self, texts):
+            rows = [int(t.split()[-1]) for t in texts]
+            dense = np.zeros((len(rows), 16), np.float32)
+            idx = np.zeros((len(rows), 16), np.int32)
+            for j, r in enumerate(rows):
+                rr = np.random.default_rng(r)
+                idx[j] = rr.choice(V, 16, replace=False)
+                dense[j] = rr.uniform(0.1, 2.0, 16)
+            return dense.astype(np.float16), idx
+
+        def encode(self, texts, query_or_doc):
+            rows = [int(t.split()[-1]) for t in texts]
+            out = np.zeros((len(rows), V), np.float32)
+            for j, r in enumerate(rows):
+                rr = np.random.default_rng(r % N)
+                ix = rr.choice(V, 16, replace=False)
+                out[j, ix] = rr.uniform(0.1, 2.0, 16)
+            return out
+
+        def get_clean_model_name(self):
+            return "fakesplade"
+
+    docs = Dataset.from_dict({
+        "id": [f"d{i}" for i in range(N)],
+        "content": [f"doc {i}" for i in range(N)],
+    })
+    qs = Dataset.from_dict({
+        "id": [f"q{i}" for i in range(Q)],
+        "content": [f"query {i}" for i in range(Q)],
+    })
+    r = Retrieve(model=FakeSparseModel(), batch_size=64, batch_size_sim=8,
+                 sparse_method="slab")
+    out = r.retrieve({"query": qs, "doc": docs}, str(tmp_path / "qi"),
+                     str(tmp_path / "di"), top_k=5)
+    assert len(out["q_id"]) == Q
+    assert out["fidelity"][0]["method"] == "slab"
+    # guard measured against the host fp32 exact reference; the slab path's
+    # exact stage-2 rescore should make fidelity ~1.0 here
+    assert out["fidelity"][0]["overlap"] >= 0.99
+    for i_, row in enumerate(out["doc_id"]):
+        assert row[0] == f"d{i_}"  # each query IS doc i -> exact top-1
+    # the slab cache must be keyed by its map (rebuild-safe): one file lands
+    # next to the doc index
+    import glob as _g
+    assert _g.glob(str(tmp_path / "di" / "slab_*.npz"))
+
+
 def test_partitioned_sketch_recall_and_cache_key(tmp_path):
     """Frequency-partitioned sketch map: (a) dedicated head buckets lift
     stage-1 candidate recall over the uniform count-sketch on Zipf-shaped
