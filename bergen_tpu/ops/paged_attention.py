@@ -16,7 +16,7 @@ Design (all static shapes, jit-stable):
 * **Per-slot tail** ``[S, KH, PAGE, Dh]``: the newest ``< PAGE`` tokens.
   The decode write lands here via a one-hot lane select (cheap: the tail is
   only 128 wide — the full-cache select this engine replaced scaled with
-  ``max_len``), and a完成 page is flushed to the pool as ONE contiguous
+  ``max_len``), and a completed page is flushed to the pool as ONE contiguous
   row scatter every 128th token (amortised ~0).
 * **Attention = two partials + flash merge**: a Pallas kernel streams the
   slot's full pages straight from HBM (block tables ride scalar prefetch,
