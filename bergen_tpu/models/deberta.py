@@ -113,14 +113,69 @@ def _heads(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return x.reshape(B, S, n, D // n)
 
 
+def _att_scale(cfg: DebertaConfig, Dh: int) -> float:
+    scale_factor = 1 + ("c2p" in cfg.pos_att_type) + ("p2c" in cfg.pos_att_type)
+    return math.sqrt(Dh * scale_factor)
+
+
+def disentangled_bias(layer: Params, cfg: DebertaConfig, q, k, rel_pos,
+                      rel_emb):
+    """The content-dependent relative-position score terms, pre-divided by
+    the attention scale: [B, H, S, S] f32 = (c2p + p2c) / sqrt(Dh * n_terms).
+
+    q, k: [B, S, H, Dh] content projections; rel_pos [S, S];
+    rel_emb [2*att_span, D] (pre-normed).  Returns None when the config has
+    no positional attention terms."""
+    if not cfg.pos_att_type or rel_emb is None:
+        return None
+    H = cfg.num_heads
+    Dh = q.shape[-1]
+    scale = _att_scale(cfg, Dh)
+    span = cfg.att_span
+    # shared projections on relative embeddings [2*span, D]
+    pos_q = _heads(dense(layer["q"], rel_emb[None]), H)[0]  # [2span, H, Dh]
+    pos_k = _heads(dense(layer["k"], rel_emb[None]), H)[0]
+
+    # The position-index table is shared across batch and heads, so the
+    # [B, H, S, P] -> [B, H, S, S] regather is expressed as a one-hot
+    # MATMUL rather than a gather: TPU gathers of this shape measured
+    # ~7% MFU on the rerank workload (and the original broadcast
+    # take_along_axis materialised a [B, H, S, S] int32 index tensor),
+    # while the equivalent per-row [B*H, P] @ [P, S] batched matmul is
+    # a fraction of a millisecond of MXU work.
+    def rowwise_regather(t, pos, P):
+        # t [B, H, S, P], pos [S, S] -> out[b,h,s,k] = t[b,h,s,pos[s,k]]
+        # precision=HIGHEST keeps the select bitwise-exact in f32: the
+        # bf16x3 decomposition reconstructs t * {0.0, 1.0} exactly
+        onehot = jax.nn.one_hot(pos, P, dtype=t.dtype)  # [S, S(k), P]
+        return jnp.einsum("bhsp,skp->bhsk", t, onehot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    bias = None
+    if "c2p" in cfg.pos_att_type:
+        c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
+                         preferred_element_type=jnp.float32)
+        c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # [S, S]
+        bias = rowwise_regather(c2p, c2p_pos, 2 * span) / scale
+    if "p2c" in cfg.pos_att_type:
+        p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
+                         preferred_element_type=jnp.float32)
+        p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
+        p2c_t = jnp.swapaxes(
+            rowwise_regather(p2c, p2c_pos, 2 * span), -1, -2
+        ) / scale
+        bias = p2c_t if bias is None else bias + p2c_t
+    return bias
+
+
 def disentangled_attention(layer: Params, cfg: DebertaConfig, x, attention_mask,
                            rel_pos, rel_emb):
     """x: [B, S, D]; rel_pos [S, S]; rel_emb [2*att_span, D] (pre-normed)."""
     B, S, D = x.shape
     H = cfg.num_heads
     Dh = D // H
-    scale_factor = 1 + ("c2p" in cfg.pos_att_type) + ("p2c" in cfg.pos_att_type)
-    scale = math.sqrt(Dh * scale_factor)
+    scale = _att_scale(cfg, Dh)
 
     q = _heads(dense(layer["q"], x), H)
     k = _heads(dense(layer["k"], x), H)
@@ -128,42 +183,9 @@ def disentangled_attention(layer: Params, cfg: DebertaConfig, x, attention_mask,
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / scale
-
-    span = cfg.att_span
-    if cfg.pos_att_type:
-        # shared projections on relative embeddings [2*span, D]
-        pos_q = _heads(dense(layer["q"], rel_emb[None]), H)[0]  # [2span, H, Dh]
-        pos_k = _heads(dense(layer["k"], rel_emb[None]), H)[0]
-        # The position-index table is shared across batch and heads, so the
-        # [B, H, S, P] -> [B, H, S, S] regather is expressed as a one-hot
-        # MATMUL rather than a gather: TPU gathers of this shape measured
-        # ~7% MFU on the rerank workload (and the original broadcast
-        # take_along_axis materialised a [B, H, S, S] int32 index tensor),
-        # while the equivalent per-row [B*H, P] @ [P, S] batched matmul is
-        # a fraction of a millisecond of MXU work.
-        def rowwise_regather(t, pos, P):
-            # t [B, H, S, P], pos [S, S] -> out[b,h,s,k] = t[b,h,s,pos[s,k]]
-            # precision=HIGHEST keeps the select bitwise-exact in f32: the
-            # bf16x3 decomposition reconstructs t * {0.0, 1.0} exactly
-            onehot = jax.nn.one_hot(pos, P, dtype=t.dtype)  # [S, S(k), P]
-            return jnp.einsum("bhsp,skp->bhsk", t, onehot,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-
-        if "c2p" in cfg.pos_att_type:
-            c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
-                             preferred_element_type=jnp.float32)
-            c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # [S, S]
-            scores = scores + rowwise_regather(
-                c2p, c2p_pos, 2 * span
-            ) / scale
-        if "p2c" in cfg.pos_att_type:
-            p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
-                             preferred_element_type=jnp.float32)
-            p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
-            scores = scores + jnp.swapaxes(
-                rowwise_regather(p2c, p2c_pos, 2 * span), -1, -2
-            ) / scale
+    pos_bias = disentangled_bias(layer, cfg, q, k, rel_pos, rel_emb)
+    if pos_bias is not None:
+        scores = scores + pos_bias
 
     bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e30)
     probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
@@ -178,7 +200,7 @@ def disentangled_attention(layer: Params, cfg: DebertaConfig, x, attention_mask,
 
 
 def encode(params: Params, cfg: DebertaConfig, input_ids, attention_mask,
-           token_type_ids=None):
+           token_type_ids=None, fused: bool | None = None):
     B, S = input_ids.shape
     emb = params["embeddings"]
     x = jnp.take(emb["word"], input_ids, axis=0)
@@ -198,6 +220,10 @@ def encode(params: Params, cfg: DebertaConfig, input_ids, attention_mask,
         rel_emb = None
 
     act = ACT_FNS[cfg.hidden_act]
+    # fused=False is REQUIRED under differentiation (training): the Pallas
+    # whole-layer kernel defines no VJP (train/provence.py passes it)
+    if (fused if fused is not None else True) and _use_fused_layers(cfg, B, S):
+        return _encode_fused(params, cfg, x, attention_mask, rel_pos, rel_emb)
     for layer in params["layers"]:
         a = disentangled_attention(
             layer["attn"], cfg, x, attention_mask, rel_pos, rel_emb
@@ -206,6 +232,64 @@ def encode(params: Params, cfg: DebertaConfig, input_ids, attention_mask,
         h = act(dense(layer["mlp_in"], x))
         h = dense(layer["mlp_out"], h)
         x = layernorm(layer["mlp_ln"], x + h, cfg.layer_norm_eps)
+    return x
+
+
+# Fused whole-layer path switch: None = auto (on on TPU when the geometry
+# fits), True/False force (tests force True to run the kernel interpreted
+# on the CPU mesh).
+USE_FUSED_LAYERS: bool | None = None
+
+
+def _use_fused_layers(cfg: DebertaConfig, B: int, S: int) -> bool:
+    from bergen_tpu.ops import encoder_attention as ea
+
+    D = cfg.hidden_size
+    geom = (
+        ea.supported(B, S, cfg.num_heads, D // cfg.num_heads, 2,
+                     True, has_bias=True)
+        and ea.layer_act_supported(cfg.hidden_act, False)
+        and ea.layer_prebias_fit(D, cfg.intermediate_size, cfg.num_heads, S)
+    )
+    if USE_FUSED_LAYERS is not None:
+        return USE_FUSED_LAYERS and geom
+    return geom and jax.default_backend() == "tpu"
+
+
+def _encode_fused(params, cfg: DebertaConfig, x, attention_mask, rel_pos,
+                  rel_emb):
+    """Encoder stack on the prebias whole-layer kernel: per layer, XLA
+    computes one fused region (qkv projection + the disentangled c2p/p2c
+    bias via MXU one-hot regathers) and ``ops/encoder_attention.
+    encoder_layer_prebias`` runs everything from the attention scores to
+    the second LayerNorm in a single pallas_call with VMEM-resident
+    weights.  Numerics match the unfused path to bf16 tolerance (the same
+    matmuls in the same order; tests/test_deberta.py)."""
+    from bergen_tpu.ops import encoder_attention as ea
+
+    B, S, D = x.shape
+    H = cfg.num_heads
+    Dh = D // H
+    scale = 1.0 / _att_scale(cfg, Dh)
+    for layer in params["layers"]:
+        attn = layer["attn"]
+        wqkv = jnp.concatenate(
+            [attn[n]["kernel"] for n in ("q", "k", "v")], axis=1)
+        bqkv = jnp.concatenate([attn[n]["bias"] for n in ("q", "k", "v")])
+        qkv = (jnp.einsum("bsd,df->bsf", x, wqkv.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+               + bqkv.astype(jnp.float32)).astype(x.dtype)
+        q = _heads(qkv[..., :D], H)
+        k = _heads(qkv[..., D:2 * D], H)
+        bias = disentangled_bias(attn, cfg, q, k, rel_pos, rel_emb)
+        if bias is None:
+            bias = jnp.zeros((B, H, S, S), x.dtype)
+        x = ea.encoder_layer_prebias(
+            x, qkv, bias.astype(x.dtype), attn["o"], layer["attn_ln"],
+            layer["mlp_in"], layer["mlp_out"], layer["mlp_ln"],
+            attention_mask, H, cfg.layer_norm_eps, cfg.hidden_act,
+            scale=scale,
+        )
     return x
 
 

@@ -246,8 +246,11 @@ _KERNEL_ACTS = {
 }
 
 
-def _attn_sub(x, qkv, m_row, *, heads, head_dim, scale):
-    """Shared attention math on one sequence: qkv [S, 3D] bf16 -> ctx [S, D]."""
+def _attn_sub(x, qkv, m_row, *, heads, head_dim, scale, score_bias=None):
+    """Shared attention math on one sequence: qkv [S, 3D] bf16 -> ctx [S, D].
+    ``score_bias``: optional per-head additive [H, S, S] pre-softmax scores
+    (DeBERTa's disentangled c2p/p2c terms — per-sequence, streamed as a
+    kernel operand, unlike the batch-invariant VMEM-const ALiBi/T5 bias)."""
     Dm = heads * head_dim
     g = _lane_group(head_dim)
     gw = g * head_dim
@@ -267,6 +270,8 @@ def _attn_sub(x, qkv, m_row, *, heads, head_dim, scale):
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale + bias
+            if score_bias is not None:
+                s = s + score_bias[grp * g + j].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
@@ -282,6 +287,28 @@ def _ln(o, scale_row, bias_row, eps):
     return ((o - mu) * jax.lax.rsqrt(var + eps)
             * scale_row[None, :].astype(jnp.float32)
             + bias_row[None, :].astype(jnp.float32))
+
+
+def _layer_tail(x, ctx, wo_ref, bo_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, ln2s_ref, ln2b_ref, eps: float, act: str):
+    """o proj + residual + LN + FFN + residual + LN on [M, D] rows (shared
+    by the standard and prebias whole-layer kernels)."""
+    o = jax.lax.dot_general(
+        ctx, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0][None, :].astype(jnp.float32) + x.astype(jnp.float32)
+    y = _ln(o, lns_ref[0], lnb_ref[0], eps)             # [M, D] f32
+    yb = y.astype(x.dtype)
+    h = jax.lax.dot_general(
+        yb, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0][None, :].astype(jnp.float32)
+    h = _KERNEL_ACTS[act](h).astype(x.dtype)
+    f = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0][None, :].astype(jnp.float32) + y
+    return _ln(f, ln2s_ref[0], ln2b_ref[0], eps)
 
 
 def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
@@ -306,22 +333,37 @@ def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
             heads=heads, head_dim=head_dim, scale=scale,
         ))
     ctx = ctxs[0] if n_seqs == 1 else jnp.concatenate(ctxs, axis=0)
-    o = jax.lax.dot_general(
-        ctx, wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0][None, :].astype(jnp.float32) + x.astype(jnp.float32)
-    y = _ln(o, lns_ref[0], lnb_ref[0], eps)             # [n*S, D] f32
-    yb = y.astype(x.dtype)
-    h = jax.lax.dot_general(
-        yb, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0][None, :].astype(jnp.float32)
-    h = _KERNEL_ACTS[act](h).astype(x.dtype)
-    f = jax.lax.dot_general(
-        h, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[0][None, :].astype(jnp.float32) + y
-    z = _ln(f, ln2s_ref[0], ln2b_ref[0], eps)
+    z = _layer_tail(x, ctx, wo_ref, bo_ref, lns_ref, lnb_ref, w1_ref,
+                    b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, eps, act)
+    o_ref[...] = z.reshape(x_ref.shape).astype(o_ref.dtype)
+
+
+def _layer_kernel_prebias(x_ref, qkv_ref, bias_ref, wo_ref, bo_ref, lns_ref,
+                          lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref,
+                          ln2b_ref, m_ref, o_ref, *, heads: int,
+                          head_dim: int, scale: float, eps: float, act: str,
+                          n_seqs: int = 1):
+    """Whole-layer fusion for encoders whose attention needs a PER-SEQUENCE
+    score bias (DeBERTa's disentangled c2p/p2c terms depend on the content
+    projections, so unlike ALiBi/T5 the bias cannot ride VMEM as a constant).
+    The qkv projection and the [H, S, S] bias arrive as streamed operands —
+    XLA computes them in one fused region per layer (including the one-hot
+    relative-position regathers, models/deberta.py) — and everything from
+    the scores onward (softmax, context, o proj, residuals, LNs, FFN) stays
+    in VMEM."""
+    S = x_ref.shape[1]
+    x = x_ref[...].reshape(n_seqs * S, x_ref.shape[2])      # [n*S, D]
+    qkv_b = qkv_ref[...].reshape(n_seqs * S, qkv_ref.shape[2])
+    ctxs = []
+    for i in range(n_seqs):
+        ctxs.append(_attn_sub(
+            x[i * S:(i + 1) * S], qkv_b[i * S:(i + 1) * S], m_ref[i][0, :],
+            heads=heads, head_dim=head_dim, scale=scale,
+            score_bias=bias_ref[i],
+        ))
+    ctx = ctxs[0] if n_seqs == 1 else jnp.concatenate(ctxs, axis=0)
+    z = _layer_tail(x, ctx, wo_ref, bo_ref, lns_ref, lnb_ref, w1_ref,
+                    b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, eps, act)
     o_ref[...] = z.reshape(x_ref.shape).astype(o_ref.dtype)
 
 
@@ -396,6 +438,58 @@ def _layer_local(x, wqkv, bqkv, wo, bo, lns, lnb, w1, b1, w2, b2, ln2s,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x, wqkv, bqkv[None, :], wo, bo[None, :], lns[None, :], lnb[None, :],
+      w1, b1[None, :], w2, b2[None, :], ln2s[None, :], ln2b[None, :],
+      mask.astype(jnp.int32)[:, None, :])
+
+
+def _layer_prebias_local(x, qkv, bias, wo, bo, lns, lnb, w1, b1, w2, b2,
+                         ln2s, ln2b, mask, num_heads: int, eps: float,
+                         act: str, scale: float):
+    B, S, D = x.shape
+    H = num_heads
+    I = w1.shape[1]
+    head_dim = D // num_heads
+    n = LAYER_SEQS_PER_TILE
+    # per-tile streamed operands: x + qkv + bias blocks plus the f32
+    # activation scratch — bias [H, S, S] dominates at long S
+    while n > 1 and (B % n != 0
+                     or n * (S * (3 * D + I) * 4 + H * S * S * 2)
+                     > 12 * 1024 * 1024):
+        n -= 1
+    xspec = pl.BlockSpec((n, S, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda b: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel_prebias, heads=num_heads,
+                          head_dim=head_dim, scale=scale, eps=eps, act=act,
+                          n_seqs=n),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B // n,),
+            in_specs=[xspec,
+                      pl.BlockSpec((n, S, 3 * D), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((n, H, S, S), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      const2((D, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      const2((D, I)), const2((1, I)),
+                      const2((I, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      pl.BlockSpec((n, 1, S), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=xspec,
+        ),
+        compiler_params=pltpu.CompilerParams(**_VMEM_PARAMS),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * S * D * (D + 2 * I)
+                   + 4 * B * num_heads * S * S * head_dim),
+            transcendentals=B * num_heads * S * S + B * S * I,
+            bytes_accessed=B * S * (2 * D + 3 * D) * 2 + B * H * S * S * 2,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, qkv, bias, wo, bo[None, :], lns[None, :], lnb[None, :],
       w1, b1[None, :], w2, b2[None, :], ln2s[None, :], ln2b[None, :],
       mask.astype(jnp.int32)[:, None, :])
 
@@ -498,6 +592,66 @@ def encoder_layer(
     local = functools.partial(_layer_local, num_heads=num_heads, eps=eps,
                               act=act)
     return _shard_wrap(local, x, args, mask)
+
+
+def encoder_layer_prebias(
+    x: jnp.ndarray,
+    qkv: jnp.ndarray,
+    attn_bias: jnp.ndarray,
+    attn_o,
+    ln_params,
+    mlp_in,
+    mlp_out,
+    ln2_params,
+    mask: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    act: str,
+    scale: float,
+) -> jnp.ndarray:
+    """Whole-layer fusion taking precomputed qkv + per-sequence score bias.
+
+    x: [B, S, D]; qkv: [B, S, 3D] (projection outputs, bias already added);
+    attn_bias: [B, H, S, S] additive pre-softmax scores (bf16 halves the
+    per-tile DMA); attn_o/mlp_in/mlp_out: {"kernel", "bias"}.  Built for
+    DeBERTa's disentangled attention (models/deberta.py), whose c2p/p2c
+    terms depend on q/k content and so cannot be a VMEM-constant bias."""
+    weights = (attn_o["kernel"], attn_o["bias"],
+               ln_params["scale"], ln_params["bias"],
+               mlp_in["kernel"], mlp_in["bias"],
+               mlp_out["kernel"], mlp_out["bias"],
+               ln2_params["scale"], ln2_params["bias"])
+    local = functools.partial(_layer_prebias_local, num_heads=num_heads,
+                              eps=eps, act=act, scale=scale)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and x.shape[0] % n_dev == 0:
+        from bergen_tpu.parallel import get_mesh
+
+        mesh = get_mesh()
+        axes = tuple(mesh.axis_names)
+        bspec = P(axes, None, None)
+        wspecs = tuple(P(*([None] * a.ndim)) for a in weights)
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(bspec, P(axes, None, None), P(axes, None, None, None),
+                      *wspecs, P(axes, None)),
+            out_specs=bspec, check_vma=False,
+        )
+        return fn(x, qkv, attn_bias, *weights, mask)
+    return local(x, qkv, attn_bias, *weights, mask)
+
+
+def layer_prebias_fit(D: int, I: int, H: int, S: int,
+                      itemsize: int = 2) -> bool:
+    """VMEM budget for the prebias whole-layer kernel: resident weights are
+    smaller than the standard layer's (no qkv matrices) but the per-tile
+    streamed operands add [S, 3D] qkv and the [H, S, S] bias block."""
+    weights = (D * D + 2 * D * I) * itemsize
+    scratch = (S * (3 * D + I + S + 4 * D) * 4          # f32 intermediates
+               + S * (3 * D + I) * itemsize             # bf16 copies
+               + H * S * S * itemsize                   # bias block
+               + S * 3 * D * itemsize)                  # qkv operand block
+    return weights + scratch <= MAX_LAYER_VMEM_BUDGET_BYTES
 
 
 def attention_block(

@@ -53,7 +53,10 @@ def init_heads(key, cfg, params):
 
 def forward(params, cfg, input_ids, attention_mask):
     """→ (ranking_scores [B], token_logits [B, S, 2])."""
-    hidden = deberta.encode(params, cfg, input_ids, attention_mask)
+    # fused=False: this forward is differentiated (value_and_grad below) and
+    # the fused whole-layer Pallas path defines no VJP
+    hidden = deberta.encode(params, cfg, input_ids, attention_mask,
+                            fused=False)
     pooled = ACT_FNS[cfg.pooler_hidden_act](dense(params["pooler"], hidden[:, 0]))
     ranking = dense(params["classifier"], pooled)[:, 0]
     token_logits = dense(params["token_classifier"], hidden).astype(jnp.float32)

@@ -113,3 +113,50 @@ def test_crossencoder_with_deberta(tmp_path):
         scores, ref, atol=3e-4, rtol=1e-3,
         err_msg=f"ids={enc['input_ids'].tolist()}",
     )
+
+
+def test_fused_layers_match_unfused_and_hf():
+    """The prebias whole-layer kernel path (interpret mode on CPU) must
+    match both the unfused JAX path and HF torch on the same weights."""
+    from transformers import DebertaV2Config, DebertaV2ForSequenceClassification
+
+    torch.manual_seed(2)
+    hf_cfg = DebertaV2Config(
+        vocab_size=160, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=256,
+        max_position_embeddings=256, type_vocab_size=0,
+        position_buckets=32, max_relative_positions=-1,
+        norm_rel_ebd="layer_norm", relative_attention=True,
+        pos_att_type=["p2c", "c2p"], position_biased_input=False,
+        share_att_key=True, num_labels=1,
+    )
+    model = DebertaV2ForSequenceClassification(hf_cfg).eval()
+    cfg = deberta.DebertaConfig.from_hf(hf_cfg)
+    params = deberta.deberta_from_hf(model.state_dict(), cfg.num_layers)
+
+    rng = np.random.default_rng(3)
+    S = 128  # >= ops/encoder_attention.MIN_FUSED_SEQ
+    ids = rng.integers(3, 160, (8, S)).astype(np.int32)
+    am = np.ones((8, S), np.int32)
+    am[1, 90:] = 0
+    am[5, 30:] = 0
+    ids = np.where(am, ids, 0)
+
+    with torch.no_grad():
+        ref = model.deberta(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(am)
+        ).last_hidden_state.numpy()
+    try:
+        deberta.USE_FUSED_LAYERS = False
+        unfused = np.asarray(
+            deberta.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+        deberta.USE_FUSED_LAYERS = True
+        assert deberta._use_fused_layers(cfg, 8, S), "geometry must be fused"
+        fused = np.asarray(
+            deberta.encode(params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    finally:
+        deberta.USE_FUSED_LAYERS = None
+    valid = am.astype(bool)
+    np.testing.assert_allclose(fused[valid], unfused[valid],
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(fused[valid], ref[valid], atol=5e-4, rtol=1e-3)
