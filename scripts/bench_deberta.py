@@ -27,6 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--fused", choices=("auto", "on", "off"), default="auto",
+                    help="whole-layer prebias kernel: auto = TPU default")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
@@ -36,6 +39,8 @@ def main():
     from bergen_tpu.models import deberta
 
     on_tpu = jax.default_backend() == "tpu"
+    if args.fused != "auto":
+        deberta.USE_FUSED_LAYERS = args.fused == "on"
     # deberta-v3-base (config/reranker/debertav3.yaml)
     cfg = deberta.DebertaConfig(
         vocab_size=128100, hidden_size=768, num_layers=12, num_heads=12,
@@ -103,10 +108,14 @@ def main():
     out = {
         "pairs_per_sec": round(pairs_per_sec, 1),
         "batch": B, "seq": S,
+        "fused": deberta._use_fused_layers(cfg, B, S),
         "ms_per_batch": round(dt * 1000, 2),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
