@@ -89,7 +89,7 @@ def _t(run, n):
     return time.perf_counter() - t0
 
 
-def bench_encode(on_tpu):
+def bench_encode(on_tpu, w8a8=False):
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +104,12 @@ def bench_encode(on_tpu):
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
         bert.init(jax.random.PRNGKey(0), cfg),
     )
+    if w8a8:
+        # int8-MXU whole-layer kernel (encoder_layer_q); production use is
+        # gated by the dense retriever's dual-encode fidelity guard
+        from bergen_tpu.models import convert
+
+        params = convert.quantize_encoder_layers_w8a8(params)
     rng = np.random.default_rng(0)
     ii = jnp.asarray(rng.integers(1000, 20000, (ENC_BATCH, ENC_SEQ)), jnp.int32)
     am = jnp.ones((ENC_BATCH, ENC_SEQ), jnp.int32)
@@ -383,6 +389,16 @@ def main():
     docs_per_sec = bench_encode(on_tpu)
     _emit("corpus_encode_docs_per_sec_bertbase_b256_s192", docs_per_sec,
           "docs/sec/chip", GPU_ENCODE_DOCS_PER_SEC)
+
+    try:
+        docs_w8a8 = bench_encode(on_tpu, w8a8=True)
+        _emit("corpus_encode_docs_per_sec_bertbase_b256_s192_w8a8",
+              docs_w8a8, "docs/sec/chip", GPU_ENCODE_DOCS_PER_SEC)
+    except Exception as e:  # never block the headline rows
+        import sys
+
+        print(f"# bench_encode(w8a8) failed: {e!r}", file=sys.stderr,
+              flush=True)
 
     tok_per_sec = bench_generate(on_tpu)
     _emit("tinyllama_generate_tok_per_sec_b32_prefill256_new64_w8a8",

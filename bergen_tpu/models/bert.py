@@ -271,15 +271,41 @@ def encode(
                             attention_mask.ndim)
         and rope_inv_freq is None and alibi is None
     )
+    quantized = bool(params["layers"]) and (
+        "kernel_q" in params["layers"][0]["attn"]["q"])
     use_layer = False
     if use_block:
         from bergen_tpu.ops import encoder_attention as ea
 
         use_layer = (
             ea.layer_act_supported(cfg.hidden_act, cfg.mlp_gated)
-            and ea.layer_weights_fit(cfg.hidden_size, cfg.intermediate_size, S)
+            and ea.layer_weights_fit(
+                cfg.hidden_size, cfg.intermediate_size, S,
+                itemsize=1 if quantized else 2)
         )
     for layer in params["layers"]:
+        if use_layer and quantized:
+            # W8A8 int8-MXU layer kernel (convert.quantize_encoder_layers_
+            # w8a8 trees); callers gate this on a measured dual-encode
+            # quality check (retrievers/dense.py)
+            x = ea.encoder_layer_q(
+                x, layer["attn"], layer["attn_ln"], layer["mlp_in"],
+                layer["mlp_out"], layer["mlp_ln"], attention_mask,
+                cfg.num_heads, cfg.layer_norm_eps, cfg.hidden_act)
+            continue
+        if quantized:
+            # shapes outside the fused kernel's envelope: dequantize to the
+            # plain XLA path (weight-only semantics; per-call elementwise
+            # dequant is noise next to the layer matmuls)
+            from bergen_tpu.models import convert as _cv
+
+            layer = dict(
+                layer,
+                attn={n: _cv.dequantize_linear_w8a8(layer["attn"][n])
+                      for n in ("q", "k", "v", "o")},
+                mlp_in=_cv.dequantize_linear_w8a8(layer["mlp_in"]),
+                mlp_out=_cv.dequantize_linear_w8a8(layer["mlp_out"]),
+            )
         if use_layer:
             x = ea.encoder_layer(
                 x, layer["attn"], layer["attn_ln"], layer["mlp_in"],

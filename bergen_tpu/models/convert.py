@@ -439,6 +439,53 @@ def quantize_tree_int8(params, min_size: int = 1 << 16, mxu: bool = False):
     return params
 
 
+def quantize_encoder_layers_w8a8(params):
+    """W8A8-quantize the ENCODER LAYER linears of a BERT-family tree
+    (attn q/k/v/o + mlp_in/mlp_out) for the fused int8-MXU layer kernel
+    (``ops/encoder_attention.encoder_layer_q``).
+
+    Embeddings, pooler, and MLM head stay untouched: they either feed the
+    layers (embedding LN keeps f32) or sit after them (pooling/MLM quality
+    is dominated by the hidden states, and the MLM tied-embedding matmul
+    has no per-column scale home).  Per-output-channel weight scales;
+    activations are quantized per-row at run time inside the kernel.
+    Returns a NEW layers list on the same tree (non-layer leaves shared)."""
+    def quant_linear(p):
+        kf = jnp.asarray(p["kernel"], jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=0) / 127.0, 1e-8)
+        return {
+            "kernel_q": jnp.round(kf / scale).astype(jnp.int8),
+            "kernel_scale_a8": scale,
+            "bias": jnp.asarray(p["bias"], jnp.float32),
+        }
+
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        if "mlp_in" not in layer:  # gated-MLP encoders (mlp_up/mlp_gate)
+            raise ValueError(
+                "w8a8 encoder quantization covers plain-MLP BERT layers "
+                "only (the fused layer kernel's envelope)")
+        ql = dict(layer)
+        ql["attn"] = {n: quant_linear(layer["attn"][n])
+                      for n in ("q", "k", "v", "o")}
+        for n in ("mlp_in", "mlp_out"):
+            ql[n] = quant_linear(layer[n])
+        layers.append(ql)
+    out["layers"] = layers
+    return out
+
+
+def dequantize_linear_w8a8(p):
+    """bf16 view of a w8a8-quantized linear (XLA fallback paths where the
+    fused kernel doesn't apply — shapes outside the VMEM budget, CPU)."""
+    return {
+        "kernel": (p["kernel_q"].astype(jnp.float32)
+                   * p["kernel_scale_a8"]).astype(jnp.bfloat16),
+        "bias": p["bias"],
+    }
+
+
 def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128):
     """Weight-only int4 GROUP-WISE quantization (the TPU stand-in for
     bitsandbytes 4-bit, reference llm.py:94-121): each large kernel leaf

@@ -63,6 +63,8 @@ class DenseRetriever(Retriever):
         batch_size: int = 128,
         dtype: str | None = None,  # 'f32'/'bf16' force; None = bf16 on TPU.
         # f32-on-TPU exists for cross-backend parity checks.
+        quantization: str | None = None,  # 'w8a8': int8-MXU DOC encoding
+        w8a8_guard: float = 0.995,  # min mean cos(bf16, w8a8) doc embedding
     ):
         from transformers import AutoTokenizer
 
@@ -73,6 +75,13 @@ class DenseRetriever(Retriever):
         self.prompt_q = prompt_q or ""
         self.prompt_d = prompt_d or ""
         self.batch_size = batch_size
+        if quantization not in (None, "w8a8"):
+            raise ValueError(
+                f"DenseRetriever quantization={quantization!r}: only 'w8a8' "
+                "(int8-MXU corpus encoding) is supported")
+        self.quantization = quantization
+        self.w8a8_guard = w8a8_guard
+        self.w8a8_fidelity: dict | None = None
 
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
         # load_hf_encoder also covers the trust_remote_code architectures
@@ -103,6 +112,17 @@ class DenseRetriever(Retriever):
             del q_sd
         else:
             self.query_params = self.params
+
+        # W8A8 corpus encoding: int8 weights + int8-MXU matmuls inside the
+        # fused layer kernel (ops/encoder_attention.encoder_layer_q) for DOC
+        # encoding only — queries stay bf16 (they are a rounding-error's
+        # worth of the encode cost and anchor the guard below).  Gated by a
+        # measured dual-encode check on the first doc batch (see encode()).
+        self.doc_params = self.params
+        if quantization == "w8a8":
+            self.doc_params = convert.quantize_encoder_layers_w8a8(
+                self.params)
+        self._w8a8_guard_pending = quantization == "w8a8"
 
         self.mesh = get_mesh()
         self.buckets = make_buckets(max_len)
@@ -167,12 +187,49 @@ class DenseRetriever(Retriever):
     def encode(self, texts: list[str], query_or_doc: str) -> np.ndarray:
         """Length-sorted, bucketed, batched encode → [len(texts), D] fp32."""
         prefix = self.prompt_q if query_or_doc == "query" else self.prompt_d
-        params = self.query_params if query_or_doc == "query" else self.params
+        params = (self.query_params if query_or_doc == "query"
+                  else self.doc_params)
         texts = [prefix + t for t in texts]
         order = np.argsort([len(t) for t in texts], kind="stable")
         out = np.zeros((len(texts), self._dim), dtype=np.float32)
         for s in range(0, len(texts), self.batch_size):
             idx = order[s : s + self.batch_size]
             ii, am = self._tokenize([texts[i] for i in idx])
+            if self._w8a8_guard_pending and query_or_doc == "doc":
+                params = self._w8a8_check(ii, am) or params
             out[idx] = self._encode_jit(params, ii, am)
         return out
+
+    def _w8a8_check(self, ii: np.ndarray, am: np.ndarray):
+        """Dual-encode the first doc batch (bf16 vs w8a8) and measure the
+        embedding agreement; below the guard, fall back to bf16 for the run.
+        The downstream retrieval recall guard (pipeline/retrieve.py) cannot
+        see encoder quantization error — both its endpoints score the SAME
+        stored embeddings — so the check lives here, at the only place the
+        error is observable.  Returns the fallback params or None."""
+        import logging
+
+        self._w8a8_guard_pending = False
+        ref = self._encode_jit(self.params, ii, am)
+        q8 = self._encode_jit(self.doc_params, ii, am)
+        num = np.sum(ref * q8, axis=1)
+        den = np.clip(
+            np.linalg.norm(ref, axis=1) * np.linalg.norm(q8, axis=1),
+            1e-9, None)
+        cos = float(np.mean(num / den))
+        ok = cos >= self.w8a8_guard
+        self.w8a8_fidelity = {
+            "kind": "encoder_w8a8", "mean_cos_vs_bf16": round(cos, 6),
+            "guard": self.w8a8_guard, "passed": ok,
+            "n_docs": int(ii.shape[0]),
+        }
+        log = logging.getLogger("bergen_tpu.retrieve")
+        if not ok:
+            log.warning(
+                "w8a8 doc-encoder guard: mean cos %.4f < %.4f — falling "
+                "back to bf16 encoding for this run", cos, self.w8a8_guard)
+            self.doc_params = self.params
+            return self.params
+        log.info("w8a8 doc-encoder guard: mean cos %.4f (>= %.4f), "
+                 "int8-MXU encoding live", cos, self.w8a8_guard)
+        return None

@@ -367,6 +367,151 @@ def _layer_kernel_prebias(x_ref, qkv_ref, bias_ref, wo_ref, bo_ref, lns_ref,
     o_ref[...] = z.reshape(x_ref.shape).astype(o_ref.dtype)
 
 
+# --------------------------------------------------------------------------- #
+# W8A8 whole-layer kernel: int8 weights resident in VMEM (half the bf16
+# footprint), activations per-ROW (per-token) absmax-quantized in-kernel,
+# and the three large matmuls (qkv proj, FFN in, FFN out) plus the o proj
+# run as native int8xint8 MXU dots (2x the bf16 MXU peak).  Attention math
+# (scores, softmax, context) and the LayerNorms stay bf16/f32 — they are
+# <5% of the layer FLOPs and carry the numerics risk.  Same quantization
+# convention as the generator's W8A8 path (llama._proj /
+# convert.quantize_tree_int8(mxu=True)): per-output-channel weight scales,
+# dynamic per-row activation scales.
+# --------------------------------------------------------------------------- #
+
+
+def _qdot(x, wq_ref, sw_ref):
+    """Per-row-quantized int8 MXU dot: x [M, K] f32, wq [K, N] int8,
+    sw [1, N] f32 per-column scales -> [M, N] f32."""
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * sx * sw_ref[0][None, :]
+
+
+def _layer_kernel_q(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref,
+                    bo_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                    w2_ref, s2_ref, b2_ref, ln2s_ref, ln2b_ref, m_ref,
+                    o_ref, *, heads: int, head_dim: int, scale: float,
+                    eps: float, act: str, n_seqs: int = 1):
+    S = x_ref.shape[1]
+    x = x_ref[...].reshape(n_seqs * S, x_ref.shape[2]).astype(jnp.float32)
+    qkv = _qdot(x, wqkv_ref, sqkv_ref) + bqkv_ref[0][None, :]
+    qkv_b = qkv.astype(x_ref.dtype)
+    xb = x.astype(x_ref.dtype)
+    ctxs = []
+    for i in range(n_seqs):
+        ctxs.append(_attn_sub(
+            xb[i * S:(i + 1) * S], qkv_b[i * S:(i + 1) * S], m_ref[i][0, :],
+            heads=heads, head_dim=head_dim, scale=scale,
+        ))
+    ctx = ctxs[0] if n_seqs == 1 else jnp.concatenate(ctxs, axis=0)
+    o = (_qdot(ctx.astype(jnp.float32), wo_ref, so_ref)
+         + bo_ref[0][None, :] + x)
+    y = _ln(o, lns_ref[0], lnb_ref[0], eps)             # [M, D] f32
+    h = _qdot(y, w1_ref, s1_ref) + b1_ref[0][None, :]
+    h = _KERNEL_ACTS[act](h)
+    f = _qdot(h, w2_ref, s2_ref) + b2_ref[0][None, :] + y
+    z = _ln(f, ln2s_ref[0], ln2b_ref[0], eps)
+    o_ref[...] = z.reshape(x_ref.shape).astype(o_ref.dtype)
+
+
+def _layer_local_q(x, wqkv, sqkv, bqkv, wo, so, bo, lns, lnb, w1, s1, b1,
+                   w2, s2, b2, ln2s, ln2b, mask, num_heads: int, eps: float,
+                   act: str):
+    B, S, D = x.shape
+    I = w1.shape[1]
+    head_dim = D // num_heads
+    n = LAYER_SEQS_PER_TILE
+    # activation scratch grows with n (f32 qkv + FFN hidden intermediates)
+    while n > 1 and (B % n != 0
+                     or n * S * (3 * D + I) * 4 > 12 * 1024 * 1024):
+        n -= 1
+    xspec = pl.BlockSpec((n, S, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda b: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel_q, heads=num_heads,
+                          head_dim=head_dim,
+                          scale=1.0 / math.sqrt(head_dim), eps=eps, act=act,
+                          n_seqs=n),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B // n,),
+            in_specs=[xspec,
+                      const2((D, 3 * D)), const2((1, 3 * D)),
+                      const2((1, 3 * D)),
+                      const2((D, D)), const2((1, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      const2((D, I)), const2((1, I)), const2((1, I)),
+                      const2((I, D)), const2((1, D)), const2((1, D)),
+                      const2((1, D)), const2((1, D)),
+                      pl.BlockSpec((n, 1, S), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=xspec,
+        ),
+        compiler_params=pltpu.CompilerParams(**_VMEM_PARAMS),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * S * D * (4 * D + 2 * I)
+                   + 4 * B * num_heads * S * S * head_dim),
+            transcendentals=B * num_heads * S * S + B * S * I,
+            bytes_accessed=2 * B * S * D * 2,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, wqkv, sqkv[None, :], bqkv[None, :], wo, so[None, :], bo[None, :],
+      lns[None, :], lnb[None, :], w1, s1[None, :], b1[None, :],
+      w2, s2[None, :], b2[None, :], ln2s[None, :], ln2b[None, :],
+      mask.astype(jnp.int32)[:, None, :])
+
+
+def _q_parts(p):
+    """(int8 kernel, f32 per-col scale, f32 bias) of a quantized linear."""
+    return p["kernel_q"], p["kernel_scale_a8"], p["bias"].astype(jnp.float32)
+
+
+def encoder_layer_q(
+    x: jnp.ndarray,
+    attn_params,
+    ln_params,
+    mlp_in,
+    mlp_out,
+    ln2_params,
+    mask: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    act: str,
+) -> jnp.ndarray:
+    """W8A8 fully-fused post-LN transformer encoder layer.
+
+    Same contract as ``encoder_layer`` but every linear carries
+    ``kernel_q`` (int8) + ``kernel_scale_a8`` (f32 per-output-channel)
+    instead of ``kernel`` — the ``convert.quantize_encoder_layers_w8a8``
+    layout.  Intended for corpus encoding where the bf16 path is
+    MXU-bound; callers MUST gate on a measured quality check (see
+    ``retrievers/dense.py``'s dual-encode guard)."""
+    wq, sq, bq = _q_parts(attn_params["q"])
+    wk, sk, bk = _q_parts(attn_params["k"])
+    wv, sv, bv = _q_parts(attn_params["v"])
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    sqkv = jnp.concatenate([sq, sk, sv])
+    bqkv = jnp.concatenate([bq, bk, bv])
+    wo, so, bo = _q_parts(attn_params["o"])
+    w1, s1, b1 = _q_parts(mlp_in)
+    w2, s2, b2 = _q_parts(mlp_out)
+    args = (wqkv, sqkv, bqkv, wo, so, bo,
+            ln_params["scale"], ln_params["bias"],
+            w1, s1, b1, w2, s2, b2,
+            ln2_params["scale"], ln2_params["bias"])
+    local = functools.partial(_layer_local_q, num_heads=num_heads, eps=eps,
+                              act=act)
+    return _shard_wrap(local, x, args, mask)
+
+
 def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref,
                   lnb_ref, m_ref, o_ref, *, heads: int, head_dim: int,
                   scale: float, eps: float):

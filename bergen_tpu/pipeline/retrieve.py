@@ -531,6 +531,11 @@ class Retrieve:
             "doc_id": [[doc_id_col[j] for j in row] for row in idxs],
             "score": vals,
         }
+        enc_fid = getattr(self.model, "w8a8_fidelity", None)
+        if enc_fid is not None:
+            # w8a8 corpus-ENCODING guard (dense.py dual-encode): a different
+            # error source than the scoring guards below — record alongside
+            fidelity.insert(0, enc_fid)
         if fidelity:
             out["fidelity"] = fidelity
         if return_embeddings:
