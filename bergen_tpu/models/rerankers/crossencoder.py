@@ -21,13 +21,22 @@ from bergen_tpu.parallel.mesh import pad_batch_to_devices
 
 class CrossEncoder:
     def __init__(self, model_name: str = None, max_len: int = 512,
-                 dtype: str | None = None):
+                 dtype: str | None = None,
+                 quantization: str | None = None,  # 'w8a8' int8-MXU layers
+                 w8a8_guard: float = 0.99):  # min Spearman vs bf16 scores
         from transformers import (
             AutoConfig, AutoModelForSequenceClassification, AutoTokenizer,
         )
 
         self.model_name = model_name
         self.max_len = max_len
+        if quantization not in (None, "w8a8"):
+            raise ValueError(
+                f"CrossEncoder quantization={quantization!r}: only 'w8a8' "
+                "is supported")
+        self.quantization = quantization
+        self.w8a8_guard = w8a8_guard
+        self.w8a8_fidelity: dict | None = None
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
         hf_cfg = AutoConfig.from_pretrained(model_name)
 
@@ -57,6 +66,18 @@ class CrossEncoder:
             classify = bert.classify
         self.params = convert.to_device_tree(params, dtype=dtype)
         del hf_model
+        # W8A8 rerank scoring (int8-MXU whole-layer kernel) — BERT-family
+        # only; the DeBERTa prebias kernel streams XLA-computed qkv, so its
+        # layer matmuls live outside the pallas_call and don't quantize here
+        self.score_params = self.params
+        if quantization == "w8a8":
+            if classify is not bert.classify:
+                raise ValueError(
+                    "quantization=w8a8 covers BERT-family cross-encoders; "
+                    "deberta-v2/v3 rides the prebias kernel unquantized")
+            self.score_params = convert.quantize_encoder_layers_w8a8(
+                self.params)
+        self._w8a8_guard_pending = quantization == "w8a8"
         self.mesh = get_mesh()
         self.buckets = make_buckets(max_len)
         cfg = self.cfg
@@ -95,13 +116,43 @@ class CrossEncoder:
         ii, n = pad_batch_to_devices(ii, n_dev)
         am, _ = pad_batch_to_devices(am, n_dev)
         tt, _ = pad_batch_to_devices(tt, n_dev)
-        out = self._score(
-            self.params,
-            jax.device_put(jnp.asarray(ii), sharding),
-            jax.device_put(jnp.asarray(am), sharding),
-            jax.device_put(jnp.asarray(tt), sharding),
-        )
+        ii = jax.device_put(jnp.asarray(ii), sharding)
+        am = jax.device_put(jnp.asarray(am), sharding)
+        tt = jax.device_put(jnp.asarray(tt), sharding)
+        if self._w8a8_guard_pending:
+            self._w8a8_check(ii, am, tt, n)
+        out = self._score(self.score_params, ii, am, tt)
         return np.asarray(out)[:n]
+
+    def _w8a8_check(self, ii, am, tt, n: int) -> None:
+        """Dual-score the first pair batch (bf16 vs w8a8) and demand rank
+        agreement (Spearman over the batch's scores) before the int8 path
+        goes live; reranking consumes score ORDER, so order correlation is
+        the right fidelity measure.  Falls back to bf16 below the guard."""
+        import logging
+
+        self._w8a8_guard_pending = False
+        ref = np.asarray(self._score(self.params, ii, am, tt))[:n]
+        q8 = np.asarray(self._score(self.score_params, ii, am, tt))[:n]
+        r_ref = np.argsort(np.argsort(ref))
+        r_q8 = np.argsort(np.argsort(q8))
+        denom = np.std(r_ref) * np.std(r_q8)
+        rho = float(np.mean((r_ref - r_ref.mean()) * (r_q8 - r_q8.mean()))
+                    / denom) if denom > 0 else 1.0
+        ok = rho >= self.w8a8_guard
+        self.w8a8_fidelity = {
+            "kind": "reranker_w8a8", "spearman_vs_bf16": round(rho, 6),
+            "guard": self.w8a8_guard, "passed": ok, "n_pairs": int(n),
+        }
+        log = logging.getLogger("bergen_tpu.rerank")
+        if not ok:
+            log.warning(
+                "w8a8 reranker guard: Spearman %.4f < %.4f — falling back "
+                "to bf16 scoring for this run", rho, self.w8a8_guard)
+            self.score_params = self.params
+        else:
+            log.info("w8a8 reranker guard: Spearman %.4f (>= %.4f), "
+                     "int8-MXU scoring live", rho, self.w8a8_guard)
 
     def get_clean_model_name(self) -> str:
         return self.model_name.replace("/", "_")

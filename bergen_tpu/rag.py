@@ -311,6 +311,15 @@ class RAG:
             out = self.reranker.eval(rerank_dataset)
             query_ids, doc_ids, scores = out["q_id"], out["doc_id"], out["score"]
             utils.write_trec(reranking_file, query_ids, doc_ids, scores)
+            rr_fid = getattr(self.reranker.model, "w8a8_fidelity", None)
+            if rr_fid is not None:
+                # w8a8 reranker guard measurement — every quantized run
+                # documents its own approximation error
+                with open(os.path.join(
+                    self.experiment_folder,
+                    f"eval_{dataset_split}_rerank_fidelity.json",
+                ), "w") as f:
+                    json.dump(rr_fid, f, indent=2)
         else:
             query_ids, doc_ids, scores = utils.load_trec(reranking_file)
         shutil.copyfile(

@@ -192,6 +192,43 @@ def test_dense_retriever_w8a8_guard_falls_back():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_crossencoder_w8a8_guard_passes_and_orders_match():
+    from bergen_tpu.models.rerankers.crossencoder import CrossEncoder
+    from tests.tiny_models import build_tiny_bert
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = build_tiny_bert(d, num_labels=1, hidden=128, layers=2)
+        ce = CrossEncoder(path, max_len=64, quantization="w8a8")
+        qs = [f"question {i}" for i in range(8)]
+        ds = [f"candidate document {i} text" for i in range(8)]
+        s_q = ce.score_pairs(qs, ds)
+        assert ce.w8a8_fidelity is not None
+        assert ce.w8a8_fidelity["passed"]
+        ref = CrossEncoder(path, max_len=64).score_pairs(qs, ds)
+        # order agreement is the contract (reranking consumes rank only)
+        assert list(np.argsort(s_q)) == list(np.argsort(ref))
+
+
+def test_crossencoder_w8a8_guard_falls_back():
+    from bergen_tpu.models.rerankers.crossencoder import CrossEncoder
+    from tests.tiny_models import build_tiny_bert
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = build_tiny_bert(d, num_labels=1, hidden=128, layers=2)
+        ce = CrossEncoder(path, max_len=64, quantization="w8a8",
+                          w8a8_guard=1.1)  # impossible -> must fall back
+        s = ce.score_pairs(["q one", "q two"], ["doc a", "doc b"])
+        assert not ce.w8a8_fidelity["passed"]
+        assert ce.score_params is ce.params
+        ref = CrossEncoder(path, max_len=64).score_pairs(
+            ["q one", "q two"], ["doc a", "doc b"])
+        np.testing.assert_allclose(s, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_gated_mlp_trees_are_rejected():
     from bergen_tpu.models import convert
 
