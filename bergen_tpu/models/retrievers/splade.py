@@ -34,6 +34,8 @@ class SpladeRetriever(Retriever):
         nnz: int = 256,
         batch_size: int = 128,
         query_encoder_name: str | None = None,
+        quantization: str | None = None,  # 'w8a8' doc-encoder layers
+        w8a8_guard: float = 0.995,  # min mean cos(bf16, w8a8) [V] vectors
     ):
         from transformers import AutoConfig, AutoModelForMaskedLM, AutoTokenizer
 
@@ -41,6 +43,13 @@ class SpladeRetriever(Retriever):
         self.max_len = max_len
         self.nnz = nnz
         self.batch_size = batch_size
+        if quantization not in (None, "w8a8"):
+            raise ValueError(
+                f"SpladeRetriever quantization={quantization!r}: only "
+                "'w8a8' is supported")
+        self.quantization = quantization
+        self.w8a8_guard = w8a8_guard
+        self.w8a8_fidelity: dict | None = None
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
         hf_cfg = AutoConfig.from_pretrained(model_name)
         self.cfg = bert.BertConfig.from_hf(hf_cfg)
@@ -67,6 +76,15 @@ class SpladeRetriever(Retriever):
             del q_model
         else:
             self.query_params = self.params
+        # W8A8 doc encoding: the 12 encoder layers (~78% of the SPLADE
+        # forward FLOPs at bert-base dims) ride the int8-MXU layer kernel;
+        # the MLM head (tied-embedding [D, V] matmul) and queries stay bf16.
+        # Gated by a dual-encode guard on the first doc batch (encode()).
+        self.doc_params = self.params
+        if quantization == "w8a8":
+            self.doc_params = convert.quantize_encoder_layers_w8a8(
+                self.params)
+        self._w8a8_guard_pending = quantization == "w8a8"
         self.mesh = get_mesh()
         self.buckets = make_buckets(max_len)
         cfg = self.cfg
@@ -113,13 +131,49 @@ class SpladeRetriever(Retriever):
     def encode(self, texts: list[str], query_or_doc: str) -> np.ndarray:
         """Dense [B, V] sparse-activation vectors (used for queries and as the
         source for fixed-width doc compression)."""
-        params = self.query_params if query_or_doc == "query" else self.params
+        params = (self.query_params if query_or_doc == "query"
+                  else self.doc_params)
         order = np.argsort([len(t) for t in texts], kind="stable")
         out = np.zeros((len(texts), self.cfg.vocab_size), dtype=np.float32)
         for s in range(0, len(texts), self.batch_size):
             idx = order[s : s + self.batch_size]
-            out[idx] = self._run_batch([texts[i] for i in idx], params)
+            batch = [texts[i] for i in idx]
+            if self._w8a8_guard_pending and query_or_doc == "doc":
+                params = self._w8a8_check(batch) or params
+            out[idx] = self._run_batch(batch, params)
         return out
+
+    def _w8a8_check(self, texts: list[str]):
+        """Dual-encode the first doc batch (bf16 vs w8a8 layers) and demand
+        mean cosine agreement of the [V] activation vectors; below the
+        guard, fall back to bf16 for the run (same contract as the dense
+        retriever's guard — see retrievers/dense.py)."""
+        import logging
+
+        self._w8a8_guard_pending = False
+        ref = self._run_batch(texts, self.params)
+        q8 = self._run_batch(texts, self.doc_params)
+        num = np.sum(ref * q8, axis=1)
+        den = np.clip(
+            np.linalg.norm(ref, axis=1) * np.linalg.norm(q8, axis=1),
+            1e-9, None)
+        cos = float(np.mean(num / den))
+        ok = cos >= self.w8a8_guard
+        self.w8a8_fidelity = {
+            "kind": "splade_encoder_w8a8", "mean_cos_vs_bf16": round(cos, 6),
+            "guard": self.w8a8_guard, "passed": ok, "n_docs": len(texts),
+        }
+        log = logging.getLogger("bergen_tpu.retrieve")
+        if not ok:
+            log.warning(
+                "w8a8 SPLADE doc-encoder guard: mean cos %.4f < %.4f — "
+                "falling back to bf16 encoding for this run",
+                cos, self.w8a8_guard)
+            self.doc_params = self.params
+            return self.params
+        log.info("w8a8 SPLADE doc-encoder guard: mean cos %.4f (>= %.4f), "
+                 "int8-MXU encoding live", cos, self.w8a8_guard)
+        return None
 
     def encode_sparse(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Fixed-width (vals, idx) for document storage."""

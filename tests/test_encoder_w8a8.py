@@ -229,6 +229,29 @@ def test_crossencoder_w8a8_guard_falls_back():
         np.testing.assert_allclose(s, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_splade_w8a8_guard_passes_and_vectors_agree():
+    from bergen_tpu.models.retrievers.splade import SpladeRetriever
+    from tests.tiny_models import build_tiny_bert
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = build_tiny_bert(d, with_mlm=True, hidden=128, layers=2)
+        r = SpladeRetriever(path, max_len=64, nnz=16, batch_size=8,
+                            quantization="w8a8")
+        docs = [f"splade document {i} about things" for i in range(8)]
+        vals, idx = r.encode_sparse(docs)
+        assert r.w8a8_fidelity is not None and r.w8a8_fidelity["passed"]
+        ref = SpladeRetriever(path, max_len=64, nnz=16,
+                              batch_size=8).encode_sparse(docs)
+        # top-nnz term ids agree (weights may differ at int8 noise level)
+        overlap = np.mean([
+            len(set(idx[i]) & set(ref[1][i])) / len(set(ref[1][i]))
+            for i in range(len(docs))
+        ])
+        assert overlap > 0.95, overlap
+
+
 def test_gated_mlp_trees_are_rejected():
     from bergen_tpu.models import convert
 
