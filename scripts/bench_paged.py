@@ -52,6 +52,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--budget-gb", type=float, default=1.5)
+    ap.add_argument("--page", type=int, default=None,
+                    help="override page size (tokens) — the per-page DMA "
+                    "latency vs slot-count trade; default 128")
+    ap.add_argument("--skip-uniform", action="store_true",
+                    help="measure the paged engine only (A/B reruns)")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +65,11 @@ def main():
     from bench import _timed_chained
     from bergen_tpu.models import llama
     from bergen_tpu.ops import paged_attention as pa
+
+    if args.page is not None:
+        # the kernel and this bench read pa.PAGE at trace time; serve/paged
+        # binds it at import and is not involved here
+        pa.PAGE = args.page
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -133,30 +143,31 @@ def main():
             lambda n: float(chained(params, state, n)), iters)
 
     # ---- uniform-slot decode --------------------------------------------
-    _log(f"uniform decode (S={S_u}, max_len={MAX_LEN})")
-    lens_u = rng.integers(LEN_LO, LEN_HI + 1, S_u).astype(np.int32)
-    ku = jnp.asarray(rng.normal(size=(
-        cfg.num_layers, S_u, MAX_LEN, cfg.num_kv_heads, cfg.head_dim)) * 0.1,
-        dtype)
-    vu = jnp.asarray(rng.normal(size=ku.shape) * 0.1, dtype)
+    if not args.skip_uniform:
+        _log(f"uniform decode (S={S_u}, max_len={MAX_LEN})")
+        lens_u = rng.integers(LEN_LO, LEN_HI + 1, S_u).astype(np.int32)
+        ku = jnp.asarray(rng.normal(size=(
+            cfg.num_layers, S_u, MAX_LEN, cfg.num_kv_heads,
+            cfg.head_dim)) * 0.1, dtype)
+        vu = jnp.asarray(rng.normal(size=ku.shape) * 0.1, dtype)
 
-    def step_uniform(params, st):
-        cache = {"k": st["k"], "v": st["v"], "cursor": st["cursor"]}
-        mask = (jnp.arange(MAX_LEN)[None, None, :]
-                <= st["cursor"][:, None, None])
-        logits, cache = llama.forward(
-            params, cfg, st["tok"][:, None], st["cursor"][:, None], cache,
-            mask)
-        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-        return {"k": cache["k"], "v": cache["v"],
-                "cursor": st["cursor"] + 1, "tok": nxt}
+        def step_uniform(params, st):
+            cache = {"k": st["k"], "v": st["v"], "cursor": st["cursor"]}
+            mask = (jnp.arange(MAX_LEN)[None, None, :]
+                    <= st["cursor"][:, None, None])
+            logits, cache = llama.forward(
+                params, cfg, st["tok"][:, None], st["cursor"][:, None], cache,
+                mask)
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return {"k": cache["k"], "v": cache["v"],
+                    "cursor": st["cursor"] + 1, "tok": nxt}
 
-    state_u = {"k": ku, "v": vu, "cursor": jnp.asarray(lens_u),
-               "tok": jnp.full((S_u,), 7, jnp.int32)}
-    dt_u = time_loop(step_uniform, state_u)
-    results["uniform_tok_per_sec"] = S_u * 1.0 / dt_u
-    _log(f"uniform: {results['uniform_tok_per_sec']:.0f} tok/s")
-    del ku, vu, state_u
+        state_u = {"k": ku, "v": vu, "cursor": jnp.asarray(lens_u),
+                   "tok": jnp.full((S_u,), 7, jnp.int32)}
+        dt_u = time_loop(step_uniform, state_u)
+        results["uniform_tok_per_sec"] = S_u * 1.0 / dt_u
+        _log(f"uniform: {results['uniform_tok_per_sec']:.0f} tok/s")
+        del ku, vu, state_u
 
     # ---- paged decode ----------------------------------------------------
     _log(f"paged decode (S={S_p}, pages={n_pages})")
@@ -193,10 +204,14 @@ def main():
     state_p["tok"] = jnp.full((S_p,), 7, jnp.int32)
     dt_p = time_loop(step_paged, state_p)
     results["paged_tok_per_sec"] = S_p * 1.0 / dt_p
-    results["paged_vs_uniform"] = (results["paged_tok_per_sec"]
-                                   / results["uniform_tok_per_sec"])
-    _log(f"paged: {results['paged_tok_per_sec']:.0f} tok/s "
-         f"({results['paged_vs_uniform']:.2f}x uniform)")
+    results["page_size"] = int(pa.PAGE)
+    if "uniform_tok_per_sec" in results:
+        results["paged_vs_uniform"] = (results["paged_tok_per_sec"]
+                                       / results["uniform_tok_per_sec"])
+        _log(f"paged: {results['paged_tok_per_sec']:.0f} tok/s "
+             f"({results['paged_vs_uniform']:.2f}x uniform)")
+    else:
+        _log(f"paged: {results['paged_tok_per_sec']:.0f} tok/s")
     results["backend"] = jax.default_backend()
     print(json.dumps(results, indent=2))
     if args.out:
