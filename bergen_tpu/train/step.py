@@ -21,15 +21,23 @@ from bergen_tpu.models import llama
 
 
 def causal_lm_loss(
-    params, cfg: llama.LlamaConfig, input_ids, attention_mask, loss_mask
+    params, cfg: llama.LlamaConfig, input_ids, attention_mask, loss_mask,
+    remat: bool = True,
 ) -> jnp.ndarray:
-    """Mean next-token CE over positions where loss_mask=1 (answer tokens)."""
+    """Mean next-token CE over positions where loss_mask=1 (answer tokens).
+
+    ``remat`` (default on) checkpoints each decoder layer so the backward
+    pass recomputes activations instead of holding every layer's attention
+    probs + FFN hiddens — the standard TPU HBM-for-FLOPs trade (the
+    equivalent of HF's gradient_checkpointing=True in the reference's
+    Trainer path)."""
     B, S = input_ids.shape
     cache = llama.init_cache(cfg, B, S, dtype=jnp.float32)
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = causal[None] & attention_mask[:, None, :].astype(bool)
-    logits, _ = llama.forward(params, cfg, input_ids, positions, cache, mask)
+    logits, _ = llama.forward(params, cfg, input_ids, positions, cache, mask,
+                              remat=remat)
     logits = logits[:, :-1].astype(jnp.float32)
     targets = input_ids[:, 1:]
     w = (loss_mask[:, 1:] * attention_mask[:, 1:]).astype(jnp.float32)

@@ -81,12 +81,16 @@ class SFTTrainer:
 
         cfg = self.cfg
         optimizer = self.optimizer
+        # per-layer jax.checkpoint in the loss (the reference Trainer's
+        # gradient_checkpointing flag, config/train/lora.yaml) — backward
+        # recomputes layer activations instead of holding them all in HBM
+        remat = bool(training_config.get("gradient_checkpointing", True))
 
         @jax.jit
         def train_step(params, opt_state, batch):
             loss, grads = jax.value_and_grad(causal_lm_loss)(
                 params, cfg, batch["input_ids"], batch["attention_mask"],
-                batch["loss_mask"],
+                batch["loss_mask"], remat,
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -94,9 +98,10 @@ class SFTTrainer:
 
         @jax.jit
         def eval_step(params, batch):
+            # eval has no backward — remat would only add recompute
             return causal_lm_loss(
                 params, cfg, batch["input_ids"], batch["attention_mask"],
-                batch["loss_mask"],
+                batch["loss_mask"], False,
             )
 
         self._train_step = train_step
