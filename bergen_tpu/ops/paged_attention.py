@@ -37,6 +37,7 @@ Reference behaviour being replaced: vLLM PagedAttention
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -46,6 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 PAGE = 128
 _NEG = -1e30
+
+# Full-pages partial engine: "auto" picks by geometry/backend, "pallas" /
+# "xla" force one side (A/B benchmarking: scripts/bench_paged.py --engine).
+ENGINE = os.environ.get("BERGEN_TPU_PAGED_ENGINE", "auto")
 
 
 # --------------------------------------------------------------------------- #
@@ -132,106 +137,113 @@ def paged_partial_xla(q: jnp.ndarray, k_pool: jnp.ndarray,
 # --------------------------------------------------------------------------- #
 
 
+# Slots per grid step.  One-slot-per-step (the first shipped cut) made the
+# decode DMA-latency/fixed-cost bound: S slots x L layers of grid steps,
+# each fetching tiny [1, H, Dh] blocks and paying the pipeline's semaphore
+# round-trips — measured 31.5 ms/step at S=50 vs 10.4 ms for uniform slots
+# (scripts/bench_paged.py), and doubling PAGE made it WORSE (compute waste
+# grew, so the gap was fixed cost, not DMA size).  Batching NB slots per
+# grid step amortises the fixed cost NB-fold; per-slot @pl.when guards keep
+# the math identical for ragged page counts.
+SLOTS_PER_STEP = 8
+
+
 def _paged_kernel(tbl_ref, npg_ref, start_ref, q_ref, k_hbm, v_hbm,
                   acc_ref, m_ref, l_ref, kbuf, vbuf, accs, ms, ls, sem,
-                  *, KH, G, scale):
-    """One grid step per SLOT; the slot's live pages stream through two
-    VMEM buffers with manually issued double-buffered DMAs.
-
-    The first cut of this kernel used a (S, max_pages) grid — one tiny
-    (page-sized) block per step.  400 grid steps of ~256 KB made decode
-    DMA-LATENCY-bound: ~0.95 ms/layer where the page reads are worth
-    ~0.07 ms of bandwidth, and paged decode LOST to uniform slots end to
-    end (scripts/bench_paged.py round-3 first run: 0.96x).  Per-slot grid +
-    in-kernel pipelining amortises the per-step cost over all of a slot's
-    pages and prefetches page i+1 while page i computes."""
-    s = pl.program_id(0)
-    npg = npg_ref[s]
-    start = start_ref[s]
-    p0 = start // PAGE  # pages fully inside leading padding: skipped
+                  *, KH, G, scale, nb):
+    """NB slots per grid step; each slot's live pages stream through two
+    VMEM buffer sets with manually issued double-buffered DMAs (page j+2
+    prefetches while page j computes), all NB slots' DMAs in flight
+    together."""
+    b = pl.program_id(0)
+    H = G * KH
+    npgs = [npg_ref[b * nb + s] for s in range(nb)]
+    starts = [start_ref[b * nb + s] for s in range(nb)]
+    p0s = [st // PAGE for st in starts]  # pages fully inside leading padding
 
     accs[:] = jnp.zeros_like(accs)
     ms[:] = jnp.full_like(ms, _NEG)
     ls[:] = jnp.zeros_like(ls)
 
-    def issue(i, slot):
-        page = tbl_ref[s, i]
-        pltpu.make_async_copy(
-            k_hbm.at[page], kbuf.at[slot], sem.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            v_hbm.at[page], vbuf.at[slot], sem.at[slot, 1]).start()
-
-    def wait(slot):
-        pltpu.make_async_copy(
-            k_hbm.at[0], kbuf.at[slot], sem.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[0], vbuf.at[slot], sem.at[slot, 1]).wait()
-
-    def compute(i, slot):
-        q = q_ref[0]  # [H, Dh]
-        # leading-pad mask within this page: lane j real iff i*PAGE+j>=start
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAGE), 1)
-        pad_mask = (i * PAGE + lane) < start   # [1, PAGE]
-        for h in range(KH):  # static unroll: KH is small (1-16)
-            k = kbuf[slot, h]  # [PAGE, Dh]
-            v = vbuf[slot, h]
-            qh = q[h * G:(h + 1) * G]  # [G, Dh]
-            sc = jax.lax.dot_general(
-                qh, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                              # [G, PAGE]
-            sc = jnp.where(pad_mask, _NEG, sc)
-            rows = slice(h * G, (h + 1) * G)
-            m_old = ms[rows]                       # [G, PAGE] lane-replicated
-            m_new = jnp.maximum(
-                m_old, jnp.max(sc, axis=-1, keepdims=True)
-            )
-            alpha = jnp.exp(m_old - m_new)
-            pexp = jnp.exp(sc - m_new)
-            ls[rows] = ls[rows] * alpha + jnp.sum(
-                pexp, axis=-1, keepdims=True
-            )
-            accs[rows] = accs[rows] * alpha[:, : accs.shape[1]] + jnp.dot(
-                pexp.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
-            ms[rows] = m_new
-
-    # prologue: fill both buffers (static slot ids keep the DMA targets
-    # compile-time-known; the page loop below consumes/re-issues in pairs)
-    @pl.when(p0 < npg)
-    def _():
-        issue(p0, 0)
-
-    @pl.when(p0 + 1 < npg)
-    def _():
-        issue(p0 + 1, 1)
-
-    def pair_body(j, _):
-        i0 = p0 + 2 * j
-        wait(0)
-        compute(i0, 0)
-
-        @pl.when(i0 + 2 < npg)
-        def _():
-            issue(i0 + 2, 0)
-
-        @pl.when(i0 + 1 < npg)
-        def _():
-            wait(1)
-            compute(i0 + 1, 1)
-
-            @pl.when(i0 + 3 < npg)
+    def issue(j, buf):
+        for s in range(nb):
+            @pl.when(p0s[s] + j < npgs[s])
             def _():
-                issue(i0 + 3, 1)
+                page = tbl_ref[b * nb + s, p0s[s] + j]
+                pltpu.make_async_copy(
+                    k_hbm.at[page], kbuf.at[buf, s], sem.at[buf, s, 0]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[page], vbuf.at[buf, s], sem.at[buf, s, 1]).start()
 
+    def wait(j, buf):
+        for s in range(nb):
+            @pl.when(p0s[s] + j < npgs[s])
+            def _():
+                pltpu.make_async_copy(
+                    k_hbm.at[0], kbuf.at[buf, s], sem.at[buf, s, 0]).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[0], vbuf.at[buf, s], sem.at[buf, s, 1]).wait()
+
+    def compute(j, buf):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAGE), 1)
+        for s in range(nb):
+            i = p0s[s] + j
+
+            @pl.when(i < npgs[s])
+            def _():
+                q = q_ref[s]  # [H, Dh]
+                # leading-pad mask: lane t real iff i*PAGE + t >= start
+                pad_mask = (i * PAGE + lane) < starts[s]   # [1, PAGE]
+                for h in range(KH):  # static unroll: KH is small (1-16)
+                    k = kbuf[buf, s, h]  # [PAGE, Dh]
+                    v = vbuf[buf, s, h]
+                    qh = q[h * G:(h + 1) * G]  # [G, Dh]
+                    sc = jax.lax.dot_general(
+                        qh, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale                              # [G, PAGE]
+                    sc = jnp.where(pad_mask, _NEG, sc)
+                    rows = slice(h * G, (h + 1) * G)
+                    m_old = ms[s, rows]            # [G, PAGE] lane-replicated
+                    m_new = jnp.maximum(
+                        m_old, jnp.max(sc, axis=-1, keepdims=True)
+                    )
+                    alpha = jnp.exp(m_old - m_new)
+                    pexp = jnp.exp(sc - m_new)
+                    ls[s, rows] = ls[s, rows] * alpha + jnp.sum(
+                        pexp, axis=-1, keepdims=True
+                    )
+                    accs[s, rows] = (
+                        accs[s, rows] * alpha[:, : accs.shape[2]]
+                        + jnp.dot(pexp.astype(v.dtype), v,
+                                  preferred_element_type=jnp.float32)
+                    )
+                    ms[s, rows] = m_new
+
+    # prologue: fill both buffer sets (static buf ids keep the DMA targets
+    # compile-time-known; the page loop consumes/re-issues in pairs)
+    issue(0, 0)
+    issue(1, 1)
+
+    def pair_body(jj, _):
+        j0 = 2 * jj
+        wait(j0, 0)
+        compute(j0, 0)
+        issue(j0 + 2, 0)
+        wait(j0 + 1, 1)
+        compute(j0 + 1, 1)
+        issue(j0 + 3, 1)
         return 0
 
-    n_pairs = jnp.maximum(npg - p0 + 1, 0) // 2
+    nsteps = npgs[0] - p0s[0]
+    for s in range(1, nb):
+        nsteps = jnp.maximum(nsteps, npgs[s] - p0s[s])
+    n_pairs = jnp.maximum(nsteps + 1, 0) // 2
     jax.lax.fori_loop(0, n_pairs, pair_body, 0, unroll=False)
 
-    acc_ref[0] = accs[:]
-    m_ref[0] = ms[:]
-    l_ref[0] = ls[:]
+    acc_ref[...] = accs[:]
+    m_ref[...] = ms[:]
+    l_ref[...] = ls[:]
 
 
 def paged_partial_pallas(q: jnp.ndarray, k_pool: jnp.ndarray,
@@ -249,41 +261,51 @@ def paged_partial_pallas(q: jnp.ndarray, k_pool: jnp.ndarray,
     if starts is None:
         starts = jnp.zeros_like(n_pages)
 
-    def q_map(s, tbl, npg, st):
-        return (s, 0, 0)
+    nb = min(SLOTS_PER_STEP, S)
+    Sp = -(-S // nb) * nb
+    if Sp != S:
+        # pad to the slot-batch multiple; padded rows carry n_pages=0 so
+        # every in-kernel guard is false for them (l stays 0 = absent)
+        q = jnp.pad(q, ((0, Sp - S), (0, 0), (0, 0)))
+        tables = jnp.pad(tables, ((0, Sp - S), (0, 0)))
+        n_pages = jnp.pad(n_pages, (0, Sp - S))
+        starts = jnp.pad(starts, (0, Sp - S))
 
-    def out_map(s, tbl, npg, st):
-        return (s, 0, 0)
+    def q_map(b, tbl, npg, st):
+        return (b, 0, 0)
+
+    def out_map(b, tbl, npg, st):
+        return (b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(S,),
+        grid=(Sp // nb,),
         in_specs=[
-            pl.BlockSpec((1, H, Dh), q_map),
+            pl.BlockSpec((nb, H, Dh), q_map),
             pl.BlockSpec(memory_space=pl.ANY),  # page pools stay in HBM;
             pl.BlockSpec(memory_space=pl.ANY),  # the kernel DMAs pages
         ],
         out_specs=[
-            pl.BlockSpec((1, H, Dh), out_map),
-            pl.BlockSpec((1, H, PAGE), out_map),
-            pl.BlockSpec((1, H, PAGE), out_map),
+            pl.BlockSpec((nb, H, Dh), out_map),
+            pl.BlockSpec((nb, H, PAGE), out_map),
+            pl.BlockSpec((nb, H, PAGE), out_map),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, KH, PAGE, Dh), k_pool.dtype),
-            pltpu.VMEM((2, KH, PAGE, Dh), v_pool.dtype),
-            pltpu.VMEM((H, Dh), jnp.float32),
-            pltpu.VMEM((H, PAGE), jnp.float32),
-            pltpu.VMEM((H, PAGE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, nb, KH, PAGE, Dh), k_pool.dtype),
+            pltpu.VMEM((2, nb, KH, PAGE, Dh), v_pool.dtype),
+            pltpu.VMEM((nb, H, Dh), jnp.float32),
+            pltpu.VMEM((nb, H, PAGE), jnp.float32),
+            pltpu.VMEM((nb, H, PAGE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nb, 2)),
         ],
     )
-    kern = functools.partial(_paged_kernel, KH=KH, G=G, scale=scale)
+    kern = functools.partial(_paged_kernel, KH=KH, G=G, scale=scale, nb=nb)
     acc, m, l = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((S, H, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((S, H, PAGE), jnp.float32),
-            jax.ShapeDtypeStruct((S, H, PAGE), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, H, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, H, PAGE), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, H, PAGE), jnp.float32),
         ],
         grid_spec=grid_spec,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -291,7 +313,7 @@ def paged_partial_pallas(q: jnp.ndarray, k_pool: jnp.ndarray,
         ),
         interpret=interpret,
     )(tables, n_pages, starts, q, k_pool, v_pool)
-    return acc, m[:, :, 0], l[:, :, 0]
+    return acc[:S], m[:S, :, 0], l[:S, :, 0]
 
 
 # --------------------------------------------------------------------------- #
@@ -358,9 +380,12 @@ def paged_decode_attention(
     not per layer)."""
     S, H, Dh = q.shape
     if use_pallas is None:
-        # the kernel's lane-replicated softmax stats assume Dh == one lane
-        # group; other head dims take the XLA paged path
-        use_pallas = (jax.default_backend() == "tpu" and Dh == 128)
+        if ENGINE in ("pallas", "xla"):
+            use_pallas = ENGINE == "pallas"
+        else:
+            # the kernel's lane-replicated softmax stats assume Dh == one
+            # lane group; other head dims take the XLA paged path
+            use_pallas = (jax.default_backend() == "tpu" and Dh == 128)
     k_tail, v_tail = tail_write(k_tail, v_tail, k_new, v_new, lengths)
     n_full = lengths // PAGE
     tail_len = lengths - n_full * PAGE + 1  # incl. the token just written

@@ -57,6 +57,13 @@ def main():
                     "latency vs slot-count trade; default 128")
     ap.add_argument("--skip-uniform", action="store_true",
                     help="measure the paged engine only (A/B reruns)")
+    ap.add_argument("--engine", choices=("auto", "pallas", "xla"),
+                    default="auto",
+                    help="full-pages partial engine (A/B: the Pallas "
+                    "streaming kernel vs the XLA gather path)")
+    ap.add_argument("--skip-paged", action="store_true",
+                    help="measure the uniform engine only (slot-count "
+                    "scaling diagnostics via --budget-gb)")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +73,7 @@ def main():
     from bergen_tpu.models import llama
     from bergen_tpu.ops import paged_attention as pa
 
+    pa.ENGINE = args.engine
     if args.page is not None:
         # the kernel and this bench read pa.PAGE at trace time; serve/paged
         # binds it at import and is not involved here
@@ -170,6 +178,13 @@ def main():
         del ku, vu, state_u
 
     # ---- paged decode ----------------------------------------------------
+    if args.skip_paged:
+        results["backend"] = jax.default_backend()
+        print(json.dumps(results, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return
     _log(f"paged decode (S={S_p}, pages={n_pages})")
     lens_p = rng.integers(LEN_LO, LEN_HI + 1, S_p).astype(np.int32)
     max_pages = (LEN_HI + STEPS) // pa.PAGE + 2
@@ -205,6 +220,7 @@ def main():
     dt_p = time_loop(step_paged, state_p)
     results["paged_tok_per_sec"] = S_p * 1.0 / dt_p
     results["page_size"] = int(pa.PAGE)
+    results["engine"] = args.engine
     if "uniform_tok_per_sec" in results:
         results["paged_vs_uniform"] = (results["paged_tok_per_sec"]
                                        / results["uniform_tok_per_sec"])

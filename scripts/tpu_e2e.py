@@ -121,6 +121,12 @@ RUNS = {
         "+generator.init_args.serve=true",
         "+generator.init_args.quantization=w8a8",
     ],
+    # vLLM-style paged-KV serving: page-pool cache + block-table attention
+    # (ops/paged_attention.py) behind the continuous-batching server
+    "d_paged_serving": [
+        "+generator.init_args.serve=true",
+        "+generator.init_args.kv_cache=paged",
+    ],
     # sparse retrieval through the wide-slab engine (stage-1 int8 slab GEMM
     # + stage-2 exact host rescore), recall guard live — the round-3 SPLADE
     # fast path against real pipeline artifacts

@@ -99,6 +99,43 @@ def test_pallas_kernel_matches_xla_partial(paged_setup):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_kernel_ragged_slot_batch_and_starts():
+    """S=10 forces the slot-batch padding path (nb=8 → padded to 16) and
+    nonzero ``starts`` exercises the leading-pad masks in the batched
+    kernel; padded rows must report l == 0 (absent partial)."""
+    rng = np.random.default_rng(3)
+    S, H, KH, Dh, maxP = 10, 8, 2, 64, 4
+    NP = 1 + S * maxP
+    n_full = rng.integers(0, maxP + 1, S).astype(np.int32)
+    # starts within the first live page (page-aligned prefill leading pad)
+    starts = np.where(n_full > 0,
+                      rng.integers(0, pa.PAGE, S), 0).astype(np.int32)
+    k_pool = rng.normal(size=(NP, KH, pa.PAGE, Dh)).astype(np.float32)
+    v_pool = rng.normal(size=(NP, KH, pa.PAGE, Dh)).astype(np.float32)
+    tables = np.zeros((S, maxP), np.int32)
+    free = list(range(1, NP))
+    for s in range(S):
+        for p in range(int(n_full[s])):
+            tables[s, p] = free.pop(0)
+    q = rng.normal(size=(S, H, Dh)).astype(np.float32)
+    scale = 1.0 / np.sqrt(Dh)
+    args = (jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+            jnp.asarray(tables), jnp.asarray(n_full), scale)
+    a1, m1, l1 = pa.paged_partial_xla(*args, starts=jnp.asarray(starts))
+    a2, m2, l2 = pa.paged_partial_pallas(
+        *args, starts=jnp.asarray(starts), interpret=True)
+    assert a2.shape == (S, H, Dh)  # padding stripped
+    empty = (n_full == 0) | (starts >= n_full * pa.PAGE)
+    np.testing.assert_allclose(np.asarray(l2)[empty], 0.0)
+    live = ~empty
+    np.testing.assert_allclose(np.asarray(m1)[live], np.asarray(m2)[live],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1)[live], np.asarray(l2)[live],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a1)[live], np.asarray(a2)[live],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_decode_step_and_flush_lifecycle(paged_setup):
     """Run paged_decode_attention for one step and check (a) ctx matches a
     dense oracle that includes the new token, (b) the tail write landed,
