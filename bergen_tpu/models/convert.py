@@ -486,12 +486,19 @@ def dequantize_linear_w8a8(p):
     }
 
 
-def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128):
+def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128,
+                       packed: bool = False):
     """Weight-only int4 GROUP-WISE quantization (the TPU stand-in for
     bitsandbytes 4-bit, reference llm.py:94-121): each large kernel leaf
     becomes jnp.int4 values (XLA packs two nibbles per byte in HBM on TPU)
     plus f32 scales per (group of `group` input rows, output column).
-    Group-wise scaling keeps quality close to nf4 at equal memory."""
+    Group-wise scaling keeps quality close to nf4 at equal memory.
+
+    ``packed=True`` stores the same nibbles hand-packed two-per-int8-byte
+    (``kernel_q4p``, shape [d_in//2, d_out]; even d_in rows in the low
+    nibble, odd in the high) instead of relying on the platform's jnp.int4
+    support — identical HBM bytes, and int8 jit arguments work everywhere
+    (the tunneled axon plugin cannot take S4 arrays as jit args)."""
     def visit(node):
         if isinstance(node, dict):
             if "kernel" in node and not isinstance(node["kernel"], dict):
@@ -503,7 +510,14 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128):
                     scale = jnp.max(jnp.abs(g), axis=1) / 7.0  # [n_groups, d_out]
                     scale = jnp.maximum(scale, 1e-8)
                     q = jnp.clip(jnp.round(g / scale[:, None, :]), -8, 7)
-                    node["kernel_q4"] = q.reshape(d_in, d_out).astype(jnp.int4)
+                    q = q.reshape(d_in, d_out)
+                    if packed and d_in % 2 == 0:
+                        q8 = q.astype(jnp.int8)
+                        node["kernel_q4p"] = (
+                            (q8[0::2] & 0x0F) | (q8[1::2] << 4)
+                        ).astype(jnp.int8)
+                    else:
+                        node["kernel_q4"] = q.astype(jnp.int4)
                     node["kernel_scale4"] = scale
                     del node["kernel"]
             for v in node.values():
@@ -514,6 +528,17 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128):
 
     visit(params)
     return params
+
+
+def unpack_int4(kernel_q4p):
+    """[d_in//2, d_out] packed nibbles → [d_in, d_out] int8 in [-8, 7].
+
+    Arithmetic shifts sign-extend each nibble: low = (b << 4) >> 4,
+    high = b >> 4 (int8 right shift is arithmetic in XLA)."""
+    lo = jnp.right_shift(jnp.left_shift(kernel_q4p, 4), 4)
+    hi = jnp.right_shift(kernel_q4p, 4)
+    d2, d_out = kernel_q4p.shape
+    return jnp.stack([lo, hi], axis=1).reshape(d2 * 2, d_out)
 
 
 def dequantize_int4(kernel_q4, kernel_scale4, dtype):

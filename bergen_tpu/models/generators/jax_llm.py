@@ -117,9 +117,10 @@ class LLM(Generator):
             # are per-row quantized on the fly — see llama._proj
             params = convert.quantize_tree_int8(params, mxu=True)
         elif quantization == "int4":
-            # true 4-bit weight-only, group-wise scales (jnp.int4 storage —
-            # XLA packs two nibbles per byte in TPU HBM)
-            params = convert.quantize_tree_int4(params)
+            # true 4-bit weight-only, group-wise scales.  Hand-packed
+            # two-nibbles-per-int8-byte storage (same HBM bytes as jnp.int4)
+            # because not every TPU runtime accepts S4 jit arguments
+            params = convert.quantize_tree_int4(params, packed=True)
 
         if num_beams is not None:
             use_beam_search, best_of = num_beams > 1, num_beams

@@ -297,10 +297,14 @@ def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
-    if "kernel_q4" in p:  # int4 weight-only (convert.quantize_tree_int4)
+    if "kernel_q4" in p or "kernel_q4p" in p:
+        # int4 weight-only (convert.quantize_tree_int4; _q4p = hand-packed
+        # nibbles for platforms whose jit can't take S4 args)
         from bergen_tpu.models import convert as _cv
 
-        w = _cv.dequantize_int4(p["kernel_q4"], p["kernel_scale4"], x.dtype)
+        q4 = (p["kernel_q4"] if "kernel_q4" in p
+              else _cv.unpack_int4(p["kernel_q4p"]))
+        w = _cv.dequantize_int4(q4, p["kernel_scale4"], x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)

@@ -51,7 +51,8 @@ T0 = time.time()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,64,128,256")
-    ap.add_argument("--quant", default="w8a8", choices=("bf16", "int8", "w8a8"))
+    ap.add_argument("--quant", default="w8a8",
+                    choices=("bf16", "int8", "w8a8", "int4"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -85,10 +86,15 @@ def main():
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
     )
     if args.quant != "bf16" and on_tpu:
-        params = convert.quantize_tree_int8(params, mxu=args.quant == "w8a8")
+        if args.quant == "int4":
+            params = convert.quantize_tree_int4(params, packed=True)
+        else:
+            params = convert.quantize_tree_int8(
+                params, mxu=args.quant == "w8a8")
         w_bytes = sum(
-            x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
-        )
+            x.size * (0.5 if x.dtype == jnp.int4 else x.dtype.itemsize)
+            for x in jax.tree.leaves(params)
+        )  # XLA packs two int4 nibbles per HBM byte
 
     L = CTX + DECODE_STEPS + 1
     kv_per_seq = (cfg.num_layers * 2 * L * cfg.num_kv_heads * cfg.head_dim

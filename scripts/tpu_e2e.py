@@ -127,6 +127,12 @@ RUNS = {
         "+generator.init_args.serve=true",
         "+generator.init_args.kv_cache=paged",
     ],
+    # true 4-bit weight-only generation (hand-packed nibble storage — the
+    # portable int4 representation; convert.quantize_tree_int4(packed=True))
+    # through the full pipeline
+    "e_int4_generation": [
+        "+generator.init_args.quantization=int4",
+    ],
     # sparse retrieval through the wide-slab engine (stage-1 int8 slab GEMM
     # + stage-2 exact host rescore), recall guard live — the round-3 SPLADE
     # fast path against real pipeline artifacts
@@ -141,7 +147,8 @@ RUNS = {
 }
 
 
-def run_backend(backend: str, out_dir: str, models_dir: str) -> None:
+def run_backend(backend: str, out_dir: str, models_dir: str,
+                only: list | None = None) -> None:
     _force_backend(backend)
     import jax
 
@@ -156,6 +163,8 @@ def run_backend(backend: str, out_dir: str, models_dir: str) -> None:
         "runs": {},
     }
     for name, extra in RUNS.items():
+        if only and name not in only:
+            continue
         work = os.path.join(out_dir, "work_" + name)
         shutil.rmtree(work, ignore_errors=True)
         extra = [e.format(**models) for e in extra]
@@ -212,6 +221,8 @@ def compare(dir_a: str, dir_b: str, out_path: str) -> dict:
     report = {"a": dir_a, "b": dir_b, "runs": {}}
     for name in RUNS:
         ra, rb = os.path.join(dir_a, name), os.path.join(dir_b, name)
+        if not (os.path.isdir(ra) and os.path.isdir(rb)):
+            continue  # run absent from one evidence dir (older capture)
         rec = {}
         trecs = sorted(
             f for f in os.listdir(ra)
@@ -256,10 +267,13 @@ if __name__ == "__main__":
     ap.add_argument("--out", required=True)
     ap.add_argument("--models-dir", default="/tmp/tpu_e2e_models")
     ap.add_argument("--compare", nargs=2, metavar=("TPU_DIR", "CPU_DIR"))
+    ap.add_argument("--runs", default=None,
+                    help="comma-separated subset of RUNS to execute")
     args = ap.parse_args()
     sys.path.insert(0, REPO)
     if args.compare:
         compare(args.compare[0], args.compare[1], args.out)
     else:
         assert args.backend, "--backend required unless --compare"
-        run_backend(args.backend, args.out, args.models_dir)
+        run_backend(args.backend, args.out, args.models_dir,
+                    only=args.runs.split(",") if args.runs else None)

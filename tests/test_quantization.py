@@ -110,7 +110,8 @@ def test_generator_int4_flag(tmp_path):
     gen = LLM(model_dir, batch_size=2, max_new_tokens=4, max_length=64,
               quantization="int4")
     leaf = gen.params["layers"][0]["attn"]["q"]
-    assert "kernel_q4" in leaf and leaf["kernel_q4"].dtype == jnp.int4
+    # generator ships the packed representation (portable across runtimes)
+    assert "kernel_q4p" in leaf and leaf["kernel_q4p"].dtype == jnp.int8
     out = gen.generate(["what is the capital of avaria"])
     assert len(out) == 1 and isinstance(out[0], str)
 
@@ -249,3 +250,36 @@ def test_w8a8_outlier_guard(tmp_path):
     assert flags2 and not any(flags2), (
         "outlier checkpoint must fall back to weight-only int8"
     )
+
+
+def test_int4_packed_matches_unpacked():
+    """Hand-packed nibble storage (kernel_q4p) is bitwise the same
+    quantization as jnp.int4 storage — same dequantized weights, same
+    forward output — at half the int8 bytes (two nibbles per byte)."""
+    import copy
+
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=512, max_position_embeddings=128,
+    )
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    q = convert.quantize_tree_int4(copy.deepcopy(params), min_size=1,
+                                   group=64)
+    qp = convert.quantize_tree_int4(copy.deepcopy(params), min_size=1,
+                                    group=64, packed=True)
+    leaf, leafp = q["layers"][0]["attn"]["q"], qp["layers"][0]["attn"]["q"]
+    assert leafp["kernel_q4p"].dtype == jnp.int8
+    assert leafp["kernel_q4p"].shape == (128, 256)  # [d_in//2, d_out]
+    np.testing.assert_array_equal(
+        np.asarray(leaf["kernel_q4"], np.int8),
+        np.asarray(convert.unpack_int4(leafp["kernel_q4p"])))
+
+    ids = jnp.asarray(np.arange(10)[None] + 3, jnp.int32)
+    pos = jnp.asarray(np.arange(10)[None], jnp.int32)
+    mask = jnp.tril(jnp.ones((10, 10), bool))[None]
+    a, _ = llama.forward(q, cfg, ids, pos,
+                         llama.init_cache(cfg, 1, 10, jnp.float32), mask)
+    b, _ = llama.forward(qp, cfg, ids, pos,
+                         llama.init_cache(cfg, 1, 10, jnp.float32), mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-5)
