@@ -347,18 +347,8 @@ def bench_serving(on_tpu):
         params, cfg, eos_token_id=-1, pad_token_id=0, max_slots=SLOTS,
         max_len=PMAX + int(max_news.max()) + 1, prompt_buckets=buckets,
     )
-    Pm = bucket_of(max(plens))
-    pr = np.zeros((R, Pm), np.int32)
-    pl = np.zeros(R, np.int32)
-    for r, ids in enumerate(prompts):
-        ids = ids[-Pm:]
-        pr[r, : len(ids)] = ids
-        pl[r] = len(ids)
-    iters = R + int(np.ceil(max_news.sum() / SLOTS)) + int(max_news.max())
-    Lc = Pm + ((iters + 127) // 128) * 128
-    runner = server._workload_runner(R, Pm, int(max_news.max()), Lc)
-    pr_d, pl_d = jnp.asarray(pr), jnp.asarray(pl)
-    mn_d = jnp.asarray(max_news.astype(np.int32))
+    runner, args = server.plan_workload(prompts, list(map(int, max_news)))
+    (_, pr_d, pl_d, mn_d, gr_d, gc_d, gb_d, budget_d, key0) = args
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained_srv(p, key, n):
@@ -367,7 +357,8 @@ def bench_serving(on_tpu):
             # the drain ignores its rng key, so an rng-only chain lets XLA
             # CSE all n drains into one
             acc, cur_pr = carry
-            out, n_out = runner(p, cur_pr, pl_d, mn_d, key)
+            out, n_out = runner(p, cur_pr, pl_d, mn_d, gr_d, gc_d, gb_d,
+                                budget_d, key)
             t = jnp.sum(out[0, :4]).astype(jnp.float32)
             return acc + t, cur_pr + (t * 1e-30).astype(jnp.int32)
         acc, _ = jax.lax.fori_loop(

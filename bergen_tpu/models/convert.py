@@ -511,7 +511,15 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128,
                     scale = jnp.maximum(scale, 1e-8)
                     q = jnp.clip(jnp.round(g / scale[:, None, :]), -8, 7)
                     q = q.reshape(d_in, d_out)
-                    if packed and d_in % 2 == 0:
+                    if packed:
+                        if d_in % 2 != 0:
+                            # never silently fall back to S4 storage — packed
+                            # mode exists because some runtimes reject S4 jit
+                            # args, and a silent fallback crashes far away
+                            raise ValueError(
+                                f"packed int4 needs an even d_in, got {d_in} "
+                                f"(group={group}); pick an even group size"
+                            )
                         q8 = q.astype(jnp.int8)
                         node["kernel_q4p"] = (
                             (q8[0::2] & 0x0F) | (q8[1::2] << 4)

@@ -989,12 +989,37 @@ def beam_generate(
 # --------------------------------------------------------------------------- #
 
 
+def _linear_specs(node: Params, spec2d: P) -> Params:
+    """Specs for one linear node MIRRORING its actual keys — plain
+    ('kernel'), int8/w8a8 ('kernel_q' + scales), packed int4
+    ('kernel_q4p'/'kernel_q4' + group scales), LoRA adapters, biases —
+    so TP placement works on quantized trees too (int4+TP used to crash
+    at placement with a tree-structure mismatch)."""
+    row_axis, col_axis = spec2d  # (d_in sharding, d_out sharding)
+    out: Params = {}
+    for key in node:
+        if key in ("kernel", "kernel_q", "kernel_q4", "kernel_q4p"):
+            # kernel_q4p halves d_in (two nibbles/byte) — same axes apply
+            out[key] = spec2d
+        elif key in ("kernel_scale", "kernel_scale_a8"):
+            out[key] = P(col_axis)  # per-output-column scales [d_out]
+        elif key == "kernel_scale4":
+            out[key] = P(row_axis, col_axis)  # [n_groups, d_out]
+        elif key == "bias":
+            out[key] = P(col_axis)
+        elif key == "lora_a":
+            out[key] = P(row_axis, None)  # [d_in, r]
+        elif key == "lora_b":
+            out[key] = P(None, col_axis)  # [r, d_out]
+        else:  # lora_scale and friends: replicate
+            out[key] = P()
+    return out
+
+
 def param_shardings(params: Params, model_axis: str = "model") -> Params:
     """PartitionSpec tree for TP over `model_axis`: attention heads and FFN
-    width sharded; per-token collectives inserted by XLA at o_proj/down_proj."""
-    def attn_spec(name):
-        return {"kernel": P(None, model_axis) if name != "o" else P(model_axis, None)}
-
+    width sharded; per-token collectives inserted by XLA at o_proj/down_proj.
+    Mirrors the params tree exactly (including quantized / LoRA leaves)."""
     out: Params = {
         "embed": P(),
         "final_norm": {"scale": P()},
@@ -1002,7 +1027,13 @@ def param_shardings(params: Params, model_axis: str = "model") -> Params:
     }
     for layer in params["layers"]:
         entry = {
-            "attn": {n: attn_spec(n) for n in ("q", "k", "v", "o")},
+            "attn": {
+                n: _linear_specs(
+                    layer["attn"][n],
+                    P(None, model_axis) if n != "o" else P(model_axis, None),
+                )
+                for n in ("q", "k", "v", "o")
+            },
             "attn_norm": {"scale": P()},
         }
         # gemma-2 sandwich norms; cohere parallel block has no mlp_norm
@@ -1011,7 +1042,8 @@ def param_shardings(params: Params, model_axis: str = "model") -> Params:
                 entry[extra] = {"scale": P()}
         if "moe" in layer:
             # expert parallelism: the stacked expert axis shards over the
-            # mesh model axis; router replicated
+            # mesh model axis; router replicated.  MoE kernels are 3D
+            # [E, d_in, d_out] and are not quantized by the tree passes.
             entry["moe"] = {
                 "router": {"kernel": P()},
                 "gate": {"kernel": P(model_axis, None, None)},
@@ -1020,11 +1052,11 @@ def param_shardings(params: Params, model_axis: str = "model") -> Params:
             }
         else:
             entry["mlp"] = {
-                "gate": {"kernel": P(None, model_axis)},
-                "up": {"kernel": P(None, model_axis)},
-                "down": {"kernel": P(model_axis, None)},
+                "gate": _linear_specs(layer["mlp"]["gate"], P(None, model_axis)),
+                "up": _linear_specs(layer["mlp"]["up"], P(None, model_axis)),
+                "down": _linear_specs(layer["mlp"]["down"], P(model_axis, None)),
             }
         out["layers"].append(entry)
     if "lm_head" in params:
-        out["lm_head"] = {"kernel": P(None, model_axis)}
+        out["lm_head"] = _linear_specs(params["lm_head"], P(None, model_axis))
     return out

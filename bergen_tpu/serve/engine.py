@@ -23,8 +23,14 @@ NCCL TP).  This engine provides the TPU equivalent over the JAX llama model:
   reuse — runs as ONE ``lax.while_loop`` program.  Zero host round-trips per
   token, which is the TPU-idiomatic serving core (host-driven step loops pay
   the host→device latency per token; through a tunneled deployment that is
-  ~120 ms/token).  The host-driven ``submit()/run()`` loop remains for
-  online/streaming use.
+  ~120 ms/token).  The host plans the admission schedule up front
+  (``plan_workload``): same-bucket groups of <= 8 requests prefill as one
+  batched forward per iteration (round 3 prefilled one request per
+  iteration — 64 full weight reads each stalling every active slot's
+  decode), admitted longest-generation-budget first to kill the straggler
+  tail; the aligned-cursor cache is a **ring** whose size is bounded by the
+  engine geometry (Pmax + max_new + slack), not by workload size.  The
+  host-driven ``submit()/run()`` loop remains for online/streaming use.
 
 The decode step and prefill both call ``llama.forward`` (per-row vector
 cursors added for the slot pool) — gemma-2 sandwich norms / logit softcap,
@@ -269,7 +275,8 @@ class GenerationServer:
     # ------------------------------------------------------------------ #
 
     @functools.lru_cache(maxsize=None)
-    def _workload_runner(self, R: int, Pmax: int, max_new: int, Lc: int):
+    def _workload_runner(self, R: int, Pmax: int, max_new: int, Lc: int,
+                         KEEP: int, G: int, A: int, buckets: tuple):
         """Aligned-cursor drain: every slot writes its K/V at the SAME
         global cache position ``g`` each step, because each admitted prompt
         is placed so it ENDS at the current ``g`` (left-aligned into
@@ -277,103 +284,162 @@ class GenerationServer:
         dynamic_update_slice — identical to the static path — instead of a
         per-slot-cursor scatter/select (measured: per-row scatter cost
         ~2 ms/step, full-slab select scaled with slots x cache length; the
-        aligned write made the drain beat static batching).  The price is a
-        cache sized by the iteration budget (``Lc``), so offline workloads
-        drain in request chunks (Generator batches already do this)."""
+        aligned write made the drain beat static batching).
+
+        Round-4 redesign (the round-3 drain admitted ONE request per
+        iteration and sized the cache by the iteration budget):
+
+        * **batched admission**: requests arrive pre-grouped by the host
+          scheduler (``plan_workload``) into same-bucket groups of <= A;
+          one group prefills per iteration as a single [A, Pb] forward —
+          a 64-request workload pays ~8 batched prefills instead of 64
+          serialized batch-1 prefills, each of which read the full weight
+          set and stalled every active slot's decode;
+        * **ring compaction**: any slot's live window is <= KEEP =
+          Pmax + max_new positions and always ENDS at ``g``, so when ``g``
+          reaches the end of the cache the last KEEP positions are copied
+          back to the start and ``g`` rewinds.  Cache HBM is now
+          slots x (KEEP + shift slack) — bounded by the engine geometry,
+          NOT by workload size (the round-3 cache grew with the chunk's
+          total iteration budget), so arbitrarily large workloads drain
+          without host-side chunking.  The copy amortizes to ~2 positions
+          per slot per step (vs the Lc-position attention read).
+        * **scratch slot** (row S): padding rows of a partial admission
+          group write their K/V here; it never becomes active.
+        """
         cfg_, S = self.cfg, self.S
         eos, pad = self.eos, self.pad
         temp_, top_p_ = self.temperature, self.top_p
-        buckets = tuple(b for b in self.prompt_buckets if b <= Pmax)
-        if not buckets or buckets[-1] < Pmax:
-            buckets = buckets + (Pmax,)
         dtype = self.dtype
+        NL, KH, DH = cfg_.num_layers, cfg_.num_kv_heads, cfg_.head_dim
 
         def make_prefill_branch(Pb):
             def branch(st, params, prompts, rng):
-                slot = jnp.argmin(st["active"])  # first free slot
-                req = st["next_req"]
+                st = dict(st)
                 g = st["g"]
-                ids_r = jax.lax.dynamic_slice(
-                    prompts, (req, 0), (1, Pmax)
-                )[:, :Pb]                        # right-padded [1, Pb]
-                vl = jnp.minimum(st["plens"][req], Pb)
-                ids = jnp.roll(ids_r, Pb - vl, axis=1)  # left-padded
-                am = (jnp.arange(Pb)[None, :] >= Pb - vl).astype(jnp.int32)
+                gi = jnp.minimum(st["next_grp"], G - 1)
+                reqs = jax.lax.dynamic_slice(st["grp_reqs"], (gi, 0),
+                                             (1, A))[0]          # [A]
+                cnt = st["grp_cnt"][gi]
+                rvalid = jnp.arange(A) < cnt
+                reqs_c = jnp.minimum(reqs, R - 1)
+                # free slots first (admission requires n_free >= cnt, so the
+                # first `cnt` entries are guaranteed free); padding rows go
+                # to the scratch slot S
+                order = jnp.argsort(st["active"][:S].astype(jnp.int32))
+                slots = jnp.where(rvalid, order[:A], S)
+                ids_r = prompts[reqs_c][:, :Pb]      # right-padded [A, Pb]
+                vl = jnp.minimum(st["plens"][reqs_c], Pb)
+                ids = jax.vmap(jnp.roll)(ids_r, Pb - vl)  # left-padded
+                am = (jnp.arange(Pb)[None, :] >= (Pb - vl)[:, None]).astype(
+                    jnp.int32
+                )
                 positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
                 causal = jnp.tril(jnp.ones((Pb, Pb), bool))
                 mask = causal[None] & am[:, None, :].astype(bool)
-                cache = llama.init_cache(cfg_, 1, Pb, dtype=dtype)
+                cache = llama.init_cache(cfg_, A, Pb, dtype=dtype)
                 logits, tmp = llama.forward(
                     params, cfg_, ids, positions, cache, mask
                 )
-                # the prompt region lands at [g - Pb, g) of the slot's row
-                # (one contiguous write; left-pad K/V rows are masked out
-                # via `valid`)
-                st = dict(st)
-                st["k"] = jax.lax.dynamic_update_slice(
-                    st["k"], tmp["k"].astype(dtype),
-                    (0, slot, g - Pb, 0, 0),
-                )
-                st["v"] = jax.lax.dynamic_update_slice(
-                    st["v"], tmp["v"].astype(dtype),
-                    (0, slot, g - Pb, 0, 0),
-                )
+                # each row's prompt region lands at [g - Pb, g) of its
+                # slot's cache row (contiguous writes; left-pad K/V rows
+                # are masked out via `valid`)
+                for r in range(A):
+                    st["k"] = jax.lax.dynamic_update_slice(
+                        st["k"], tmp["k"][:, r:r + 1].astype(dtype),
+                        (0, slots[r], g - Pb, 0, 0),
+                    )
+                    st["v"] = jax.lax.dynamic_update_slice(
+                        st["v"], tmp["v"][:, r:r + 1].astype(dtype),
+                        (0, slots[r], g - Pb, 0, 0),
+                    )
                 pos_idx = jnp.arange(Lc)
-                row_valid = (pos_idx >= g - vl) & (pos_idx < g)
-                st["valid"] = st["valid"].at[slot].set(row_valid)
-                first = logits[0, -1]  # last row == last real token
+                row_valid = (pos_idx[None, :] >= (g - vl)[:, None]) & (
+                    pos_idx[None, :] < g
+                )                                     # [A, Lc]
+                st["valid"] = st["valid"].at[slots].set(row_valid)
+                last = logits[:, -1]  # [A, V]: last row == last real token
                 if temp_ > 0:
-                    nxt = llama.sample_token(first[None], rng, temp_,
-                                             top_p_)[0]
+                    nxt = llama.sample_token(last, rng, temp_, top_p_)
                 else:
-                    nxt = jnp.argmax(first).astype(jnp.int32)
-                done_now = (nxt == eos) | (st["max_news"][req] <= 1)
-                st["out"] = st["out"].at[req, 0].set(nxt)
-                st["n_out"] = st["n_out"].at[req].set(1)
-                st["tok_pos"] = st["tok_pos"].at[slot].set(vl)
-                st["cur_tok"] = st["cur_tok"].at[slot].set(nxt)
-                st["active"] = st["active"].at[slot].set(~done_now)
-                st["slot_req"] = st["slot_req"].at[slot].set(req)
-                st["next_req"] = req + 1
+                    nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                done_now = (nxt == eos) | (st["max_news"][reqs_c] <= 1)
+                safe_reqs = jnp.where(rvalid, reqs_c, R)  # R -> dropped
+                st["out"] = st["out"].at[safe_reqs, 0].set(nxt, mode="drop")
+                st["n_out"] = st["n_out"].at[safe_reqs].set(1, mode="drop")
+                st["tok_pos"] = st["tok_pos"].at[slots].set(vl)
+                st["cur_tok"] = st["cur_tok"].at[slots].set(nxt)
+                st["active"] = st["active"].at[slots].set(rvalid & ~done_now)
+                st["active"] = st["active"].at[S].set(False)  # scratch
+                st["slot_req"] = st["slot_req"].at[slots].set(reqs_c)
+                st["next_grp"] = st["next_grp"] + 1
                 return st
 
             return branch
 
-        def run(params, prompts, plens, max_news, rng):
+        def shift(st):
+            # ring compaction: every live window is within [g - KEEP, g);
+            # copy it to the front and rewind g.  Amortized over the
+            # (Lc - 1 - KEEP)-step shift period this is ~2 positions per
+            # slot per step of extra HBM traffic.
+            st = dict(st)
+            g = st["g"]
+            kwin = jax.lax.dynamic_slice(
+                st["k"], (0, 0, g - KEEP, 0, 0), (NL, S + 1, KEEP, KH, DH)
+            )
+            vwin = jax.lax.dynamic_slice(
+                st["v"], (0, 0, g - KEEP, 0, 0), (NL, S + 1, KEEP, KH, DH)
+            )
+            st["k"] = jnp.zeros_like(st["k"]).at[:, :, :KEEP].set(kwin)
+            st["v"] = jnp.zeros_like(st["v"]).at[:, :, :KEEP].set(vwin)
+            valw = jax.lax.dynamic_slice(
+                st["valid"], (0, g - KEEP), (S + 1, KEEP)
+            )
+            st["valid"] = jnp.zeros_like(st["valid"]).at[:, :KEEP].set(valw)
+            st["g"] = jnp.int32(KEEP)
+            return st
+
+        def run(params, prompts, plens, max_news, grp_reqs, grp_cnt,
+                grp_bidx, budget, rng):
             st = {
                 "max_news": max_news,
-                "k": jnp.zeros((cfg_.num_layers, S, Lc, cfg_.num_kv_heads,
-                                cfg_.head_dim), dtype),
-                "v": jnp.zeros((cfg_.num_layers, S, Lc, cfg_.num_kv_heads,
-                                cfg_.head_dim), dtype),
+                "k": jnp.zeros((NL, S + 1, Lc, KH, DH), dtype),
+                "v": jnp.zeros((NL, S + 1, Lc, KH, DH), dtype),
                 "g": jnp.int32(Pmax),        # shared global cache cursor
-                "valid": jnp.zeros((S, Lc), bool),
-                "tok_pos": jnp.zeros((S,), jnp.int32),  # logical (RoPE) pos
-                "cur_tok": jnp.full((S,), pad, jnp.int32),
-                "active": jnp.zeros((S,), bool),
-                "slot_req": jnp.zeros((S,), jnp.int32),
+                "valid": jnp.zeros((S + 1, Lc), bool),
+                "tok_pos": jnp.zeros((S + 1,), jnp.int32),  # logical RoPE pos
+                "cur_tok": jnp.full((S + 1,), pad, jnp.int32),
+                "active": jnp.zeros((S + 1,), bool),
+                "slot_req": jnp.zeros((S + 1,), jnp.int32),
                 "out": jnp.full((R, max_new), pad, jnp.int32),
                 "n_out": jnp.zeros((R,), jnp.int32),
-                "next_req": jnp.int32(0),
+                "next_grp": jnp.int32(0),
+                "it": jnp.int32(0),
+                "budget": budget,
                 "plens": plens,
+                "grp_reqs": grp_reqs,
+                "grp_cnt": grp_cnt,
+                "grp_bidx": grp_bidx,
                 "rng": rng,
             }
             branches = [make_prefill_branch(Pb) for Pb in buckets]
-            bucket_arr = jnp.asarray(buckets, jnp.int32)
 
             def cond(st):
-                return (jnp.any(st["active"]) | (st["next_req"] < R)) \
-                    & (st["g"] < Lc)
+                return (jnp.any(st["active"]) | (st["next_grp"] < G)) \
+                    & (st["it"] < st["budget"])
 
             def body(st):
                 rng, k_admit, k_step = jax.random.split(st["rng"], 3)
                 st = dict(st)
                 st["rng"] = rng
-                # ---- admit one queued request if a slot is free ----
-                can = jnp.any(~st["active"]) & (st["next_req"] < R)
-                vl = st["plens"][jnp.minimum(st["next_req"], R - 1)]
-                bidx = jnp.sum(vl > bucket_arr).astype(jnp.int32)
-                bidx = jnp.minimum(bidx, len(buckets) - 1)
+                st["it"] = st["it"] + 1
+                # ---- ring compaction when the cursor reaches the end ----
+                st = jax.lax.cond(st["g"] >= Lc - 1, shift, lambda s: s, st)
+                # ---- admit the next scheduled group if slots allow ----
+                gi = jnp.minimum(st["next_grp"], G - 1)
+                n_free = jnp.sum(~st["active"][:S])
+                can = (st["next_grp"] < G) & (n_free >= st["grp_cnt"][gi])
+                bidx = st["grp_bidx"][gi]
 
                 def do_admit(st):
                     return jax.lax.switch(
@@ -432,36 +498,82 @@ class GenerationServer:
 
         return jax.jit(run)
 
-    def run_workload(self, prompt_ids_list: List[List[int]],
-                     max_new_tokens: int | List[int] = 64) -> List[List[int]]:
-        """Drain a whole mixed-length workload in one device program.
-        ``max_new_tokens`` may vary per request (slots free at each
-        request's own limit — the continuous-batching win).  Returns
-        generated token lists in submission order."""
+    def plan_workload(self, prompt_ids_list: List[List[int]],
+                      max_new_tokens: int | List[int] = 64,
+                      admit_width: int = 8):
+        """Host-side schedule for ``run_workload``: pad prompts, then group
+        requests into same-bucket admission groups of <= ``admit_width``,
+        **longest generation budget first** (long-budget requests admitted
+        early finish alongside everything else instead of straggling; the
+        admission ORDER cannot change any request's greedy tokens — each
+        slot attends only to its own history).  Returns
+        ``(runner, args: tuple)`` with ``runner(*args) -> (out, n_out)``.
+        """
         R = len(prompt_ids_list)
-        Pmax = self._bucket(max(len(p) for p in prompt_ids_list))
+        A = max(1, min(admit_width, self.S))
         if isinstance(max_new_tokens, int):
             max_news = np.full(R, max_new_tokens, np.int32)
         else:
             max_news = np.asarray(max_new_tokens, np.int32)
+        Pmax = self._bucket(max(len(p) for p in prompt_ids_list))
         prompts = np.full((R, Pmax), self.pad, np.int32)
         plens = np.zeros(R, np.int32)
         for r, ids in enumerate(prompt_ids_list):
             ids = np.asarray(ids, np.int32)[-Pmax:]
             prompts[r, : len(ids)] = ids
             plens[r] = len(ids)
-        # iteration budget -> aligned-cursor cache length: one admission or
-        # pure-idle iteration per request plus ceil(sum budgets / slots)
-        # decode iterations, plus one straggler's full budget of slack
-        # (early EOS only frees slots earlier).  Rounded up to 128.
-        iters = R + int(np.ceil(max_news.sum() / self.S)) + int(
-            max_news.max()
+        # --- schedule: longest budgets first, same-bucket groups of <= A ---
+        order = np.argsort(-max_news, kind="stable")
+        open_groups: Dict[int, list] = {}
+        groups: List[tuple] = []  # (bucket, [request ids, budget-desc])
+        for r in order:
+            b = self._bucket(int(plens[r]))
+            open_groups.setdefault(b, []).append(int(r))
+            if len(open_groups[b]) == A:
+                groups.append((b, open_groups[b]))
+                open_groups[b] = []
+        for b in sorted(open_groups):
+            if open_groups[b]:
+                groups.append((b, open_groups[b]))
+        # a group's first member holds its max budget (budget-desc fill)
+        groups.sort(key=lambda g: -int(max_news[g[1][0]]))
+        used = tuple(sorted({b for b, _ in groups}))
+        bmap = {b: i for i, b in enumerate(used)}
+        G = len(groups)
+        grp_reqs = np.full((G, A), R, np.int32)  # R = padding sentinel
+        grp_cnt = np.zeros(G, np.int32)
+        grp_bidx = np.zeros(G, np.int32)
+        for gi, (b, rs) in enumerate(groups):
+            grp_reqs[gi, : len(rs)] = rs
+            grp_cnt[gi] = len(rs)
+            grp_bidx[gi] = bmap[b]
+        # cache geometry: any live window fits in KEEP positions; 128+ of
+        # shift slack keeps the compaction copy amortized to ~2 positions
+        # per slot per step
+        KEEP = Pmax + int(max_news.max())
+        Lc = ((KEEP + 1 + 127) // 128) * 128 + 128
+        # iteration backstop (normal termination is all-requests-done):
+        # one iteration per admission group + every generated token even at
+        # occupancy 1 + shift/wait slack
+        budget = G + int(max_news.sum()) + int(max_news.max()) + 64
+        runner = self._workload_runner(
+            R, Pmax, int(max_news.max()), Lc, KEEP, G, A, used
         )
-        Lc = Pmax + ((iters + 127) // 128) * 128
-        runner = self._workload_runner(R, Pmax, int(max_news.max()), Lc)
-        out, n_out = runner(
+        args = (
             self.params, jnp.asarray(prompts), jnp.asarray(plens),
-            jnp.asarray(max_news), self._next_key(),
+            jnp.asarray(max_news), jnp.asarray(grp_reqs),
+            jnp.asarray(grp_cnt), jnp.asarray(grp_bidx),
+            jnp.int32(budget), self._next_key(),
         )
+        return runner, args
+
+    def run_workload(self, prompt_ids_list: List[List[int]],
+                     max_new_tokens: int | List[int] = 64) -> List[List[int]]:
+        """Drain a whole mixed-length workload in one device program.
+        ``max_new_tokens`` may vary per request (slots free at each
+        request's own limit — the continuous-batching win).  Returns
+        generated token lists in submission order."""
+        runner, args = self.plan_workload(prompt_ids_list, max_new_tokens)
+        out, n_out = runner(*args)
         out, n_out = np.asarray(out), np.asarray(n_out)
-        return [list(out[r, : n_out[r]]) for r in range(R)]
+        return [list(out[r, : n_out[r]]) for r in range(len(prompt_ids_list))]

@@ -222,7 +222,12 @@ def compare(dir_a: str, dir_b: str, out_path: str) -> dict:
     for name in RUNS:
         ra, rb = os.path.join(dir_a, name), os.path.join(dir_b, name)
         if not (os.path.isdir(ra) and os.path.isdir(rb)):
-            continue  # run absent from one evidence dir (older capture)
+            # run absent from one evidence dir (older capture / crashed run):
+            # record it so the parity report can't silently omit a run
+            report["runs"][name] = {
+                "skipped": f"missing in {'a' if not os.path.isdir(ra) else 'b'}"
+            }
+            continue
         rec = {}
         trecs = sorted(
             f for f in os.listdir(ra)
