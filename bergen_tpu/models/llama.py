@@ -275,6 +275,19 @@ def init_paged_cache(cfg: LlamaConfig, n_pages: int, slots: int,
 # --------------------------------------------------------------------------- #
 
 
+# Packed-int4 weight-streaming kernel switch: None = auto (Pallas kernel on
+# TPU, XLA dequant elsewhere); True/False force.  INT4_KERNEL_INTERPRET runs
+# the kernel in Pallas interpret mode (CPU tests).
+USE_INT4_KERNEL: bool | None = None
+INT4_KERNEL_INTERPRET: bool = False
+
+
+def _int4_kernel_enabled() -> bool:
+    if USE_INT4_KERNEL is not None:
+        return USE_INT4_KERNEL
+    return jax.default_backend() == "tpu"
+
+
 def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel_scale_a8" in p:
         # W8A8 (convert.quantize_tree_int8(mxu=True)): per-row int8
@@ -300,6 +313,21 @@ def _proj(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel_q4" in p or "kernel_q4p" in p:
         # int4 weight-only (convert.quantize_tree_int4; _q4p = hand-packed
         # nibbles for platforms whose jit can't take S4 args)
+        if "kernel_q4p" in p and _int4_kernel_enabled():
+            # weight-streaming Pallas matmul: nibbles unpack in VMEM, so
+            # decode reads the PACKED bytes from HBM (the XLA path below
+            # materializes the dequantized bf16 matrix in HBM every step —
+            # measured 1,476 vs 8,383 tok/s at TinyLlama dims)
+            from bergen_tpu.ops import int4_matmul
+
+            wp, sc = p["kernel_q4p"], p["kernel_scale4"]
+            K, N = wp.shape[0] * 2, wp.shape[1]
+            if int4_matmul.supports(K, N, sc.shape[0]):
+                x2 = x.reshape(-1, K)
+                y = int4_matmul.matmul_int4_packed(
+                    x2, wp, sc, interpret=INT4_KERNEL_INTERPRET
+                ).reshape(*x.shape[:-1], N)
+                return y.astype(x.dtype)
         from bergen_tpu.models import convert as _cv
 
         q4 = (p["kernel_q4"] if "kernel_q4" in p
