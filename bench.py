@@ -357,8 +357,8 @@ def bench_serving(on_tpu):
             # the drain ignores its rng key, so an rng-only chain lets XLA
             # CSE all n drains into one
             acc, cur_pr = carry
-            out, n_out = runner(p, cur_pr, pl_d, mn_d, gr_d, gc_d, gb_d,
-                                budget_d, key)
+            out, n_out, _ = runner(p, cur_pr, pl_d, mn_d, gr_d, gc_d, gb_d,
+                                   budget_d, key)
             t = jnp.sum(out[0, :4]).astype(jnp.float32)
             return acc + t, cur_pr + (t * 1e-30).astype(jnp.int32)
         acc, _ = jax.lax.fori_loop(

@@ -231,9 +231,12 @@ class LLM(Generator):
                 temperature=temperature, top_p=top_p, seed=seed,
             )
             if kv_cache == "paged":
-                # page-pool KV: no per-slot max_len reservation; tensor
-                # parallelism pending for the paged layout (mesh unused)
-                self.server = PagedGenerationServer(**common)
+                # page-pool KV: no per-slot max_len reservation; TP shards
+                # the pools/tails over the mesh 'model' axis (kv heads) and
+                # decodes through the XLA paged composition
+                self.server = PagedGenerationServer(
+                    mesh=self.mesh if tp > 1 else None, **common
+                )
             elif kv_cache == "uniform":
                 self.server = GenerationServer(
                     prompt_buckets=tuple(self.buckets),

@@ -375,6 +375,9 @@ def _attention_paged(
     tables: jnp.ndarray,     # [S_slots, maxP]
     lengths: jnp.ndarray,    # [S_slots] storage positions before this step
     starts: jnp.ndarray | None = None,  # [S_slots] leading bucket padding
+    use_pallas: bool | None = None,  # None = auto; False forces the XLA
+    # composition (required under tensor parallelism: GSPMD partitions the
+    # XLA ops over the kv-head axis, but cannot partition a pallas_call)
 ):
     """Paged decode attention (ops/paged_attention.py): writes this token's
     K/V into the slot tail and attends over (full pages ∪ tail) in place.
@@ -392,6 +395,7 @@ def _attention_paged(
     ctx, kt, vt = _pa.paged_decode_attention(
         q[:, 0], k[:, 0], v[:, 0], k_pools[li], v_pools[li],
         k_tails[li], v_tails[li], tables, lengths, scale, starts=starts,
+        use_pallas=use_pallas,
     )
     k_tails = jax.lax.dynamic_update_slice(
         k_tails, kt[None].astype(k_tails.dtype), (li, 0, 0, 0, 0)
@@ -618,6 +622,8 @@ def forward(
     collect_stats: bool = False,  # also return per-layer activation-outlier
     # ratios (absmax/rms per token, maxed) — the w8a8 calibration signal
     remat: bool = False,  # checkpoint each layer (training memory saver)
+    paged_use_pallas: bool | None = None,  # paged cache only: None auto,
+    # False = XLA composition (tensor-parallel serving)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One forward step (prefill: S=prompt_len; decode: S=1) writing K/V at
     cache cursor. Returns (logits [B, S, V] f32, updated cache) — plus a
@@ -680,6 +686,7 @@ def forward(
                     layer, cfg, h, positions, inv_freq, cache["k_pool"],
                     cache["v_pool"], k_all, v_all, li, cache["tables"],
                     cache["lengths"], starts=cache.get("starts"),
+                    use_pallas=paged_use_pallas,
                 )
             else:
                 a, k_all, v_all = _attention(

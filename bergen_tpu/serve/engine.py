@@ -63,6 +63,11 @@ class _Request:
 
 
 class GenerationServer:
+    # class-level defaults: subclasses with their own __init__ (the paged
+    # server) inherit the drain, which reads these
+    mesh = None
+    _kv_sharding = None
+
     def __init__(
         self,
         params,
@@ -101,6 +106,8 @@ class GenerationServer:
         shape = (cfg.num_layers, pool, max_len, cfg.num_kv_heads, cfg.head_dim)
         self.k_cache = jnp.zeros(shape, dtype)
         self.v_cache = jnp.zeros(shape, dtype)
+        self.mesh = mesh
+        self._kv_sharding = None  # set when TP divides the kv heads
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # KV heads ride the TP axis with the attention heads (params are
             # already sharded by the caller); jit keeps the donated caches
@@ -111,6 +118,7 @@ class GenerationServer:
                 spec = NamedSharding(mesh, P(None, None, None, "model", None))
                 self.k_cache = jax.device_put(self.k_cache, spec)
                 self.v_cache = jax.device_put(self.v_cache, spec)
+                self._kv_sharding = spec
         self.cursors = np.zeros(pool, np.int32)    # tokens in cache per slot
         self.cur_tok = np.full(pool, pad_token_id, np.int32)
         self.free_slots = list(range(max_slots))
@@ -276,7 +284,8 @@ class GenerationServer:
 
     @functools.lru_cache(maxsize=None)
     def _workload_runner(self, R: int, Pmax: int, max_new: int, Lc: int,
-                         KEEP: int, G: int, A: int, buckets: tuple):
+                         KEEP: int, G: int, A: int, branch_defs: tuple,
+                         ring: bool = True):
         """Aligned-cursor drain: every slot writes its K/V at the SAME
         global cache position ``g`` each step, because each admitted prompt
         is placed so it ENDS at the current ``g`` (left-aligned into
@@ -313,22 +322,22 @@ class GenerationServer:
         dtype = self.dtype
         NL, KH, DH = cfg_.num_layers, cfg_.num_kv_heads, cfg_.head_dim
 
-        def make_prefill_branch(Pb):
+        def make_prefill_branch(Pb, Ag):
             def branch(st, params, prompts, rng):
                 st = dict(st)
                 g = st["g"]
                 gi = jnp.minimum(st["next_grp"], G - 1)
                 reqs = jax.lax.dynamic_slice(st["grp_reqs"], (gi, 0),
-                                             (1, A))[0]          # [A]
+                                             (1, A))[0][:Ag]     # [Ag]
                 cnt = st["grp_cnt"][gi]
-                rvalid = jnp.arange(A) < cnt
+                rvalid = jnp.arange(Ag) < cnt
                 reqs_c = jnp.minimum(reqs, R - 1)
                 # free slots first (admission requires n_free >= cnt, so the
                 # first `cnt` entries are guaranteed free); padding rows go
                 # to the scratch slot S
                 order = jnp.argsort(st["active"][:S].astype(jnp.int32))
-                slots = jnp.where(rvalid, order[:A], S)
-                ids_r = prompts[reqs_c][:, :Pb]      # right-padded [A, Pb]
+                slots = jnp.where(rvalid, order[:Ag], S)
+                ids_r = prompts[reqs_c][:, :Pb]      # right-padded [Ag, Pb]
                 vl = jnp.minimum(st["plens"][reqs_c], Pb)
                 ids = jax.vmap(jnp.roll)(ids_r, Pb - vl)  # left-padded
                 am = (jnp.arange(Pb)[None, :] >= (Pb - vl)[:, None]).astype(
@@ -337,14 +346,14 @@ class GenerationServer:
                 positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
                 causal = jnp.tril(jnp.ones((Pb, Pb), bool))
                 mask = causal[None] & am[:, None, :].astype(bool)
-                cache = llama.init_cache(cfg_, A, Pb, dtype=dtype)
+                cache = llama.init_cache(cfg_, Ag, Pb, dtype=dtype)
                 logits, tmp = llama.forward(
                     params, cfg_, ids, positions, cache, mask
                 )
                 # each row's prompt region lands at [g - Pb, g) of its
                 # slot's cache row (contiguous writes; left-pad K/V rows
                 # are masked out via `valid`)
-                for r in range(A):
+                for r in range(Ag):
                     st["k"] = jax.lax.dynamic_update_slice(
                         st["k"], tmp["k"][:, r:r + 1].astype(dtype),
                         (0, slots[r], g - Pb, 0, 0),
@@ -356,9 +365,9 @@ class GenerationServer:
                 pos_idx = jnp.arange(Lc)
                 row_valid = (pos_idx[None, :] >= (g - vl)[:, None]) & (
                     pos_idx[None, :] < g
-                )                                     # [A, Lc]
+                )                                     # [Ag, Lc]
                 st["valid"] = st["valid"].at[slots].set(row_valid)
-                last = logits[:, -1]  # [A, V]: last row == last real token
+                last = logits[:, -1]  # [Ag, V]: last row == last real token
                 if temp_ > 0:
                     nxt = llama.sample_token(last, rng, temp_, top_p_)
                 else:
@@ -379,32 +388,46 @@ class GenerationServer:
 
         def shift(st):
             # ring compaction: every live window is within [g - KEEP, g);
-            # copy it to the front and rewind g.  Amortized over the
-            # (Lc - 1 - KEEP)-step shift period this is ~2 positions per
-            # slot per step of extra HBM traffic.
+            # copy it to the front and rewind g.  Runs UNCONDITIONALLY once
+            # per outer epoch (see `run`): an inner-loop `lax.cond` around
+            # the shift broke XLA's in-place aliasing of the caches and
+            # copied them through the conditional on EVERY iteration —
+            # measured 2,212 vs 5,149 tok/s on the mixed-load bench.  The
+            # clamped start makes it a harmless self-copy while g <= KEEP.
             st = dict(st)
             g = st["g"]
+            s0 = jnp.maximum(g - KEEP, 0)
             kwin = jax.lax.dynamic_slice(
-                st["k"], (0, 0, g - KEEP, 0, 0), (NL, S + 1, KEEP, KH, DH)
+                st["k"], (0, 0, s0, 0, 0), (NL, S + 1, KEEP, KH, DH)
             )
             vwin = jax.lax.dynamic_slice(
-                st["v"], (0, 0, g - KEEP, 0, 0), (NL, S + 1, KEEP, KH, DH)
+                st["v"], (0, 0, s0, 0, 0), (NL, S + 1, KEEP, KH, DH)
             )
-            st["k"] = jnp.zeros_like(st["k"]).at[:, :, :KEEP].set(kwin)
-            st["v"] = jnp.zeros_like(st["v"]).at[:, :, :KEEP].set(vwin)
+            st["k"] = jax.lax.dynamic_update_slice(
+                st["k"], kwin, (0, 0, 0, 0, 0))
+            st["v"] = jax.lax.dynamic_update_slice(
+                st["v"], vwin, (0, 0, 0, 0, 0))
             valw = jax.lax.dynamic_slice(
-                st["valid"], (0, g - KEEP), (S + 1, KEEP)
+                st["valid"], (0, s0), (S + 1, KEEP)
             )
             st["valid"] = jnp.zeros_like(st["valid"]).at[:, :KEEP].set(valw)
-            st["g"] = jnp.int32(KEEP)
+            st["g"] = g - s0
             return st
+
+        kv_sharding = self._kv_sharding
+
+        def _constrain(x):
+            # TP: the drain's cache shards over kv heads like the slot pool
+            if kv_sharding is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, kv_sharding)
 
         def run(params, prompts, plens, max_news, grp_reqs, grp_cnt,
                 grp_bidx, budget, rng):
             st = {
                 "max_news": max_news,
-                "k": jnp.zeros((NL, S + 1, Lc, KH, DH), dtype),
-                "v": jnp.zeros((NL, S + 1, Lc, KH, DH), dtype),
+                "k": _constrain(jnp.zeros((NL, S + 1, Lc, KH, DH), dtype)),
+                "v": _constrain(jnp.zeros((NL, S + 1, Lc, KH, DH), dtype)),
                 "g": jnp.int32(Pmax),        # shared global cache cursor
                 "valid": jnp.zeros((S + 1, Lc), bool),
                 "tok_pos": jnp.zeros((S + 1,), jnp.int32),  # logical RoPE pos
@@ -422,19 +445,25 @@ class GenerationServer:
                 "grp_bidx": grp_bidx,
                 "rng": rng,
             }
-            branches = [make_prefill_branch(Pb) for Pb in buckets]
+            branches = [make_prefill_branch(Pb, Ag)
+                        for (Pb, Ag) in branch_defs]
+
+            def work_left(st):
+                return jnp.any(st["active"]) | (st["next_grp"] < G)
 
             def cond(st):
-                return (jnp.any(st["active"]) | (st["next_grp"] < G)) \
-                    & (st["it"] < st["budget"])
+                c = work_left(st) & (st["it"] < st["budget"])
+                if ring:
+                    # inner loop of the epoch structure: leave before the
+                    # cursor runs off the cache; the outer loop compacts
+                    c = c & (st["g"] < Lc - 1)
+                return c
 
             def body(st):
                 rng, k_admit, k_step = jax.random.split(st["rng"], 3)
                 st = dict(st)
                 st["rng"] = rng
                 st["it"] = st["it"] + 1
-                # ---- ring compaction when the cursor reaches the end ----
-                st = jax.lax.cond(st["g"] >= Lc - 1, shift, lambda s: s, st)
                 # ---- admit the next scheduled group if slots allow ----
                 gi = jnp.minimum(st["next_grp"], G - 1)
                 n_free = jnp.sum(~st["active"][:S])
@@ -493,14 +522,28 @@ class GenerationServer:
 
                 return jax.lax.cond(any_active, do_step, lambda s: s, st)
 
-            st = jax.lax.while_loop(cond, body, st)
-            return st["out"], st["n_out"]
+            if ring:
+                # epoch structure: the inner while drains until the cursor
+                # nears the cache end; the outer body compacts UNCONDITIONALLY
+                # (a per-iteration cond on the caches forced whole-cache
+                # copies — see `shift`), costing one self-copy per epoch
+                def outer_cond(st):
+                    return work_left(st) & (st["it"] < st["budget"])
+
+                def outer_body(st):
+                    st = shift(st)
+                    return jax.lax.while_loop(cond, body, st)
+
+                st = jax.lax.while_loop(outer_cond, outer_body, st)
+            else:
+                st = jax.lax.while_loop(cond, body, st)
+            return st["out"], st["n_out"], st["it"]
 
         return jax.jit(run)
 
     def plan_workload(self, prompt_ids_list: List[List[int]],
                       max_new_tokens: int | List[int] = 64,
-                      admit_width: int = 8):
+                      admit_width: int = 8, ring: bool = True):
         """Host-side schedule for ``run_workload``: pad prompts, then group
         requests into same-bucket admission groups of <= ``admit_width``,
         **longest generation budget first** (long-budget requests admitted
@@ -522,42 +565,65 @@ class GenerationServer:
             ids = np.asarray(ids, np.int32)[-Pmax:]
             prompts[r, : len(ids)] = ids
             plens[r] = len(ids)
-        # --- schedule: longest budgets first, same-bucket groups of <= A ---
+        # --- schedule: longest budgets first, same-bucket groups.  Group
+        # sizes are powers of two <= A: full groups of A, remainders covered
+        # by their binary decomposition (a remainder of 7 prefills as 4+2+1
+        # instead of one [8, Pb] forward that wastes 7 padded rows on FLOPs;
+        # pow2 sizes keep the compiled-branch set bounded so production
+        # batches of varying shape don't recompile per workload) ---
         order = np.argsort(-max_news, kind="stable")
-        open_groups: Dict[int, list] = {}
-        groups: List[tuple] = []  # (bucket, [request ids, budget-desc])
+        by_bucket: Dict[int, list] = {}
         for r in order:
-            b = self._bucket(int(plens[r]))
-            open_groups.setdefault(b, []).append(int(r))
-            if len(open_groups[b]) == A:
-                groups.append((b, open_groups[b]))
-                open_groups[b] = []
-        for b in sorted(open_groups):
-            if open_groups[b]:
-                groups.append((b, open_groups[b]))
+            by_bucket.setdefault(self._bucket(int(plens[r])), []).append(
+                int(r))
+        groups: List[tuple] = []  # (bucket, size, [request ids budget-desc])
+        for b, rs in by_bucket.items():
+            i = 0
+            while len(rs) - i >= A:
+                groups.append((b, A, rs[i:i + A]))
+                i += A
+            rem = len(rs) - i
+            while rem:
+                size = 1
+                while size * 2 <= rem and size * 2 <= A:
+                    size *= 2
+                groups.append((b, size, rs[i:i + size]))
+                i += size
+                rem -= size
         # a group's first member holds its max budget (budget-desc fill)
-        groups.sort(key=lambda g: -int(max_news[g[1][0]]))
-        used = tuple(sorted({b for b, _ in groups}))
-        bmap = {b: i for i, b in enumerate(used)}
+        groups.sort(key=lambda g: -int(max_news[g[2][0]]))
+        branch_defs = tuple(sorted({(b, s) for b, s, _ in groups}))
+        bmap = {bs: i for i, bs in enumerate(branch_defs)}
         G = len(groups)
         grp_reqs = np.full((G, A), R, np.int32)  # R = padding sentinel
         grp_cnt = np.zeros(G, np.int32)
         grp_bidx = np.zeros(G, np.int32)
-        for gi, (b, rs) in enumerate(groups):
+        for gi, (b, s, rs) in enumerate(groups):
             grp_reqs[gi, : len(rs)] = rs
             grp_cnt[gi] = len(rs)
-            grp_bidx[gi] = bmap[b]
+            grp_bidx[gi] = bmap[(b, s)]
         # cache geometry: any live window fits in KEEP positions; 128+ of
         # shift slack keeps the compaction copy amortized to ~2 positions
         # per slot per step
         KEEP = Pmax + int(max_news.max())
-        Lc = ((KEEP + 1 + 127) // 128) * 128 + 128
+        if ring:
+            # smallest 128-aligned cache that holds a full live window; the
+            # epoch length (compaction period) is Lc - 1 - KEEP
+            Lc = ((KEEP + 1 + 127) // 128) * 128
+            if Lc - 1 - KEEP < 48:  # don't compact more than ~every 48 steps
+                Lc += 128
+        else:
+            # flat cache sized by the iteration budget (no compaction):
+            # useful for A/B diagnostics and small workloads
+            iters = G + int(np.ceil(max_news.sum() / self.S)) + int(
+                max_news.max())
+            Lc = Pmax + ((iters + 127) // 128) * 128
         # iteration backstop (normal termination is all-requests-done):
         # one iteration per admission group + every generated token even at
         # occupancy 1 + shift/wait slack
         budget = G + int(max_news.sum()) + int(max_news.max()) + 64
         runner = self._workload_runner(
-            R, Pmax, int(max_news.max()), Lc, KEEP, G, A, used
+            R, Pmax, int(max_news.max()), Lc, KEEP, G, A, branch_defs, ring
         )
         args = (
             self.params, jnp.asarray(prompts), jnp.asarray(plens),
@@ -574,6 +640,6 @@ class GenerationServer:
         request's own limit — the continuous-batching win).  Returns
         generated token lists in submission order."""
         runner, args = self.plan_workload(prompt_ids_list, max_new_tokens)
-        out, n_out = runner(*args)
+        out, n_out, _ = runner(*args)
         out, n_out = np.asarray(out), np.asarray(n_out)
         return [list(out[r, : n_out[r]]) for r in range(len(prompt_ids_list))]

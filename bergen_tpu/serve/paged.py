@@ -63,7 +63,12 @@ class PagedGenerationServer(GenerationServer):
         self.prompt_buckets = tuple(
             p * PAGE for p in (1, 2, 4, 8, 16) if p * PAGE <= max_len
         ) or (PAGE,)
-        self.max_pages = -(-max_len // PAGE)
+        # +1 page of headroom for bucket pad inflation: prompts store
+        # LEFT-padded to a whole-page bucket, so a slot's storage can exceed
+        # max_len by up to PAGE-1 pad positions (masked via `starts`).
+        # Without the headroom, max_len < PAGE made every request terminate
+        # after its first decode token (storage hit max_pages * PAGE).
+        self.max_pages = -(-max_len // PAGE) + 1
         # pool default = half the uniform-slot reservation: the paged win is
         # exactly that mean_len << max_len, so half is still conservative
         if n_pages is None:
@@ -74,6 +79,24 @@ class PagedGenerationServer(GenerationServer):
                                        self.max_pages, dtype=dtype)
         self.k_pool, self.v_pool = cache["k_pool"], cache["v_pool"]
         self.k_tail, self.v_tail = cache["k_tail"], cache["v_tail"]
+        # tensor parallelism: page pools and tails shard over the mesh
+        # 'model' axis on the kv-head dim, exactly like the uniform engine's
+        # slot cache (params are sharded by the caller).  The Pallas
+        # block-table kernel is a single-device program GSPMD cannot
+        # partition, so TP decode forces the XLA paged composition — its
+        # gathers/einsums partition cleanly over kv heads.
+        self._paged_use_pallas: bool | None = None
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            if cfg.num_kv_heads % mesh.shape["model"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = NamedSharding(
+                    mesh, P(None, None, "model", None, None))
+                self.k_pool = jax.device_put(self.k_pool, spec)
+                self.v_pool = jax.device_put(self.v_pool, spec)
+                self.k_tail = jax.device_put(self.k_tail, spec)
+                self.v_tail = jax.device_put(self.v_tail, spec)
+                self._paged_use_pallas = False
         self.tables = np.zeros((max_slots, self.max_pages), np.int32)
         self.lengths = np.zeros(max_slots, np.int32)   # storage positions
         self.starts = np.zeros(max_slots, np.int32)
@@ -133,7 +156,8 @@ class PagedGenerationServer(GenerationServer):
                 "active": active_mask,
             }
             logits, cache = llama.forward(
-                params, cfg_, tokens[:, None], tok_pos[:, None], cache, None
+                params, cfg_, tokens[:, None], tok_pos[:, None], cache, None,
+                paged_use_pallas=self._paged_use_pallas,
             )
             last = logits[:, 0]
             if temp_ > 0:
@@ -220,6 +244,17 @@ class PagedGenerationServer(GenerationServer):
                     new = self.free_pages.pop(0)
                     self.slot_pages[slot].append(new)
                     self.tables[slot, pg] = new
+
+    def run_workload(self, prompt_ids_list, max_new_tokens=64):
+        """Offline batch through the PAGED engine (the base class drains
+        through its uniform slot-pool cache, which would bypass the page
+        pool this server exists for).  Host-driven decode loop."""
+        if isinstance(max_new_tokens, int):
+            max_new_tokens = [max_new_tokens] * len(prompt_ids_list)
+        rids = [self.submit(list(map(int, p)), int(m))
+                for p, m in zip(prompt_ids_list, max_new_tokens)]
+        out = self.run()
+        return [out[rid] for rid in rids]
 
     def run(self) -> Dict[int, List[int]]:
         self._finished: List[_Request] = getattr(self, "_finished", [])
