@@ -170,26 +170,53 @@ def main():
         # pipeline it pipelines against the next batch's device GEMM, so
         # the conservative combined rate is Q / (t_gemm + t_rescore)
         from bergen_tpu.ops.sparse_slab import rescore_exact
+
+        # rescore-depth ablation: end-to-end fidelity (post-rescore top-50
+        # overlap vs the exact bf16 ranking = candidate recall@C, since the
+        # rescore itself is exact) and the combined QPS at each depth
+        depths = [4 * TOP_K, 1000, 2000, 4000]
+        results["rescore_ablation"] = {}
+        for C in depths:
+            C = min(C, slab.valid_n)
+            _, cand = fused_topk.sharded_bin_topk(
+                mesh, jnp.asarray(q_slab), slab.codes_dev, C,
+                valid_n=slab.valid_n, doc_scales=slab.scales_dev,
+                interpret=not on_tpu,
+            )
+            cand = np.asarray(cand, np.int32)
+            # device PADDING ids (>= valid_n) surface in deep candidate
+            # tails on BIN-padded corpora — clamp for the gather and sink
+            # them in the sort, exactly like SlabIndex.search.  (Skipping
+            # this fed garbage rows to the C++ rescore and read as a fake
+            # ~0.69 fidelity collapse.)
+            ok = (cand >= 0) & (cand < slab.valid_n)
+            cand_c = np.where(ok, cand, 0)
+            rescore_exact(slab._vals32, slab._idx32, cand_c[:8], q_dense[:8])
+            t0r = time.time()
+            s_re = rescore_exact(slab._vals32, slab._idx32, cand_c, q_dense)
+            dt_re = time.time() - t0r
+            s_re = np.where(ok, s_re, -np.inf)
+            ord_ = np.argsort(-s_re, axis=1, kind="stable")[:, :TOP_K]
+            i_re = np.take_along_axis(cand, ord_, axis=1)
+            overlap = float(np.mean([
+                len(set(i_re[r]) & set(i_ref[r])) / TOP_K
+                for r in range(Q_BATCH)
+            ]))
+            results["rescore_ablation"][C] = {
+                "rescore_host_s_per_batch": round(dt_re, 4),
+                "combined_qps": round(Q_BATCH / (dt_sl + dt_re), 1),
+                "top50_overlap_vs_exact": round(overlap, 4),
+            }
+            _log(f"rescore C={C}: overlap={overlap:.4f} "
+                 f"qps={Q_BATCH/(dt_sl+dt_re):.0f}")
+        # headline row keeps the shipped default depth (4 * top_k)
         C = 4 * TOP_K
-        _, cand = fused_topk.sharded_bin_topk(
-            mesh, jnp.asarray(q_slab), slab.codes_dev, C,
-            valid_n=slab.valid_n, doc_scales=slab.scales_dev,
-            interpret=not on_tpu,
-        )
-        cand = np.asarray(cand, np.int32)
-        rescore_exact(slab._vals32, slab._idx32, cand[:8], q_dense[:8])
-        t0r = time.time()
-        s_re = rescore_exact(slab._vals32, slab._idx32, cand, q_dense)
-        dt_re = time.time() - t0r
+        head = results["rescore_ablation"][C]
         results["rescore_c"] = C
-        results["rescore_host_s_per_batch"] = dt_re
-        results["slab_rescore_qps"] = Q_BATCH / (dt_sl + dt_re)
-        ord_ = np.argsort(-s_re, axis=1, kind="stable")[:, :TOP_K]
-        i_re = np.take_along_axis(cand, ord_, axis=1)
-        results["slab_rescore_vs_exact_overlap"] = float(np.mean([
-            len(set(i_re[r]) & set(i_ref[r])) / TOP_K
-            for r in range(Q_BATCH)
-        ]))
+        results["rescore_host_s_per_batch"] = head["rescore_host_s_per_batch"]
+        results["slab_rescore_qps"] = head["combined_qps"]
+        results["slab_rescore_vs_exact_overlap"] = (
+            head["top50_overlap_vs_exact"])
         if on_tpu:
             # query-amortized (Q=4096): the slab GEMM is FLOP-bound, so QPS
             # should hold roughly flat — measured to confirm
