@@ -106,6 +106,9 @@ def main():
 
     dt = _timed_chained(run, n_iters)
     tok_per_sec = B * S / dt
+    # as-implemented reference: HF Trainer + PEFT LoRA on A100-80GB at ~25%
+    # MFU ~= 11,800 tok/s (derivation: BASELINE.md "LoRA SFT training")
+    LORA_A100_BASELINE = 11_800.0
     out = {
         "mode": "full_ft" if args.full_ft else f"lora_r{args.rank}",
         "batch": B, "seq": S,
@@ -113,6 +116,8 @@ def main():
         "train_tok_per_sec": round(tok_per_sec, 1),
         "backend": jax.default_backend(),
     }
+    if not args.full_ft:
+        out["vs_baseline"] = round(tok_per_sec / LORA_A100_BASELINE, 3)
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:
