@@ -43,16 +43,23 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.bm25_batch_search.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.bm25_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
 class BM25(Retriever):
     def __init__(self, model_name: str = "bm25", k1: float = 0.9, b: float = 0.4,
-                 **kwargs):
+                 threads: int | None = None, **kwargs):
         self.model_name = model_name
         self.k1 = k1
         self.b = b
+        # reference passes `threads` to Lucene batch_search (bm25.py:28-31)
+        self.threads = threads or os.cpu_count() or 1
         self.lib = _load_lib()
         self._handle = None
 
@@ -96,22 +103,38 @@ class BM25(Retriever):
         )
         out_q, out_d, out_s = [], [], []
         k = min(top_k, len(doc_ids))
-        docs_buf = (ctypes.c_int32 * k)()
-        scores_buf = (ctypes.c_float * k)()
-        for q_id, q in zip(query_dataset["id"], query_dataset[field]):
-            self.lib.bm25_search(
-                self._handle, q.encode("utf-8", "ignore"), k, docs_buf, scores_buf
-            )
+        queries = list(query_dataset[field])
+        docs, scores = self.batch_search(queries, k)
+        for r, q_id in enumerate(query_dataset["id"]):
             d_row, s_row = [], []
             for i in range(k):
-                if docs_buf[i] < 0:
+                if docs[r, i] < 0:
                     break
-                d_row.append(doc_ids[docs_buf[i]])
-                s_row.append(float(scores_buf[i]))
+                d_row.append(doc_ids[docs[r, i]])
+                s_row.append(float(scores[r, i]))
             out_q.append(q_id)
             out_d.append(d_row)
             out_s.append(s_row)
         return {"q_id": out_q, "doc_id": out_d, "score": out_s}
+
+    def batch_search(self, queries: list[str], k: int,
+                     threads: int | None = None):
+        """Threaded batch search over the open index (the reference's
+        LuceneSearcher.batch_search(threads=...) equivalent).  Returns
+        (docs [n, k] int32 with -1 padding, scores [n, k] f32)."""
+        n = len(queries)
+        docs = np.full((n, k), -1, np.int32)
+        scores = np.zeros((n, k), np.float32)
+        if n == 0:
+            return docs, scores
+        enc = [q.encode("utf-8", "ignore") for q in queries]
+        arr = (ctypes.c_char_p * n)(*enc)
+        self.lib.bm25_batch_search(
+            self._handle, arr, n, k, threads or self.threads,
+            docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return docs, scores
 
     def __del__(self):
         if getattr(self, "_handle", None):

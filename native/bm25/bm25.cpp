@@ -19,6 +19,7 @@
 #include <fstream>
 #include <queue>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -302,10 +303,24 @@ struct Index {
     avgdl = n_docs ? total / n_docs : 0.0;
   }
 
+  // Per-searcher scratch: a DENSE float accumulator (one slot per doc) plus
+  // the list of touched docs.  Replaces the round-3 unordered_map
+  // accumulator — a hash probe per posting was the searcher's hot cost;
+  // the dense array is a single indexed add (the classic score-accumulator
+  // layout Lucene/Anserini use).  Each thread owns one Scratch (the Porter
+  // stemmer inside Analyzer is stateful, so Analyzer is per-thread too).
+  struct Scratch {
+    std::vector<float> acc;
+    std::vector<int32_t> touched;
+    Analyzer analyzer;
+  };
+
   // Lucene BM25: idf = ln(1 + (N - df + 0.5) / (df + 0.5))
-  void search(const char* query, int k, int32_t* out_docs, float* out_scores) {
-    auto q_toks = analyzer.tokenize(query);
-    std::unordered_map<int32_t, float> acc;
+  void search_with(Scratch& s, const char* query, int k, int32_t* out_docs,
+                   float* out_scores) const {
+    auto q_toks = s.analyzer.tokenize(query);
+    if (static_cast<int32_t>(s.acc.size()) < n_docs) s.acc.assign(n_docs, 0.f);
+    s.touched.clear();
     for (auto& t : q_toks) {
       auto it = postings.find(t);
       if (it == postings.end()) continue;
@@ -313,20 +328,23 @@ struct Index {
       double df = static_cast<double>(plist.size());
       double idf = std::log(1.0 + (n_docs - df + 0.5) / (df + 0.5));
       for (const auto& p : plist) {
+        // every per-term partial score is > 0, so 0 marks "untouched"
+        if (s.acc[p.doc] == 0.f) s.touched.push_back(p.doc);
         double norm = k1 * (1.0 - b + b * doc_len[p.doc] / avgdl);
-        double s = idf * (p.tf / (p.tf + norm));
-        acc[p.doc] += static_cast<float>(s);
+        s.acc[p.doc] += static_cast<float>(idf * (p.tf / (p.tf + norm)));
       }
     }
     using Entry = std::pair<float, int32_t>;  // (score, -doc) max ordering
     std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
-    for (auto& [doc, s] : acc) {
+    for (int32_t doc : s.touched) {
+      float sc = s.acc[doc];
       if (static_cast<int>(heap.size()) < k) {
-        heap.push({s, -doc});
-      } else if (s > heap.top().first) {
+        heap.push({sc, -doc});
+      } else if (sc > heap.top().first) {
         heap.pop();
-        heap.push({s, -doc});
+        heap.push({sc, -doc});
       }
+      s.acc[doc] = 0.f;  // reset for the next query
     }
     int n = static_cast<int>(heap.size());
     for (int i = n - 1; i >= 0; --i) {
@@ -339,6 +357,37 @@ struct Index {
       out_scores[i] = 0.0f;
     }
   }
+
+  void search(const char* query, int k, int32_t* out_docs, float* out_scores) {
+    search_with(scratch, query, k, out_docs, out_scores);
+  }
+
+  // Threaded batch search — the reference passes `threads` to Lucene's
+  // batch_search (models/retrievers/bm25.py:28-31); the index is read-only
+  // here and each thread owns its Scratch/Analyzer.
+  void batch_search(const char* const* queries, int32_t nq, int32_t k,
+                    int32_t threads, int32_t* out_docs,
+                    float* out_scores) const {
+    if (threads < 1) threads = 1;
+    threads = std::min<int32_t>(threads, nq > 0 ? nq : 1);
+    auto worker = [&](int32_t tid) {
+      Scratch s;
+      for (int32_t qi = tid; qi < nq; qi += threads) {
+        search_with(s, queries[qi], k, out_docs + (int64_t)qi * k,
+                    out_scores + (int64_t)qi * k);
+      }
+    };
+    if (threads == 1) {
+      worker(0);
+      return;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+
+  Scratch scratch;  // single-call API reuse
 
   // ---- binary serialization --------------------------------------------
   bool save(const char* path) const {
@@ -431,6 +480,13 @@ void* bm25_load(const char* path) {
 }
 
 int32_t bm25_num_docs(void* h) { return static_cast<Index*>(h)->n_docs; }
+
+void bm25_batch_search(void* h, const char* const* queries, int32_t nq,
+                       int32_t k, int32_t threads, int32_t* out_docs,
+                       float* out_scores) {
+  static_cast<Index*>(h)->batch_search(queries, nq, k, threads, out_docs,
+                                       out_scores);
+}
 
 void bm25_search(void* h, const char* query, int32_t k, int32_t* out_docs,
                  float* out_scores) {

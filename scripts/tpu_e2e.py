@@ -102,6 +102,15 @@ def _compose(work: str, models: dict, extra: list[str]):
         "rerank_top_k=10",
         "generation_top_k=5",
     ]
+    # a run that swaps a whole config group (e.g. f_bm25's retriever=bm25)
+    # invalidates the base list's dotted overrides into that group — confy
+    # applies group choices first, so `retriever.init_args.max_len` would
+    # crash against a retriever config that has no such key
+    swapped = {e.split("=", 1)[0] for e in extra
+               if "=" in e and "." not in e.split("=", 1)[0]}
+    base = [b for b in base
+            if b.split("=", 1)[0].split(".")[0].lstrip("+") not in swapped
+            or "." not in b.split("=", 1)[0]]
     return confy.compose(os.path.join(REPO, "config"), "rag", base + extra)
 
 
@@ -144,6 +153,12 @@ RUNS = {
         "retriever.batch_size=64",
         "+retriever.sparse_method=slab",
     ],
+    # lexical retrieval through the C++ inverted index (native/bm25) —
+    # the reference drives bm25 through its full pipeline tests
+    # (/root/reference/tests/zeroshot_test.py:91-98)
+    "f_bm25": [
+        "retriever=bm25",
+    ],
 }
 
 
@@ -162,6 +177,13 @@ def run_backend(backend: str, out_dir: str, models_dir: str,
         "devices": [str(d) for d in jax.devices()],
         "runs": {},
     }
+    # incremental evidence capture: merge into an existing summary so a
+    # --only invocation extends the evidence dir instead of erasing the
+    # previously captured runs
+    prev = os.path.join(out_dir, "summary.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            summary["runs"] = json.load(f).get("runs", {})
     for name, extra in RUNS.items():
         if only and name not in only:
             continue

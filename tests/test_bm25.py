@@ -122,3 +122,32 @@ def test_bm25_full_pipeline(tmp_path, repo_root):
     # gold doc contains the exact question words
     assert rmetrics["P_1"] > 0.9
     assert rmetrics["recall_5"] > 0.9
+
+
+def test_batch_search_matches_single(tmp_path):
+    """Threaded batch_search must return exactly the single-query results
+    (per-thread Scratch/Analyzer; dense accumulator reset between queries)."""
+    import ctypes
+
+    import numpy as np
+
+    rng = __import__("numpy").random.default_rng(0)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(300)]
+    queries = [" ".join(rng.choice(vocab, size=5)) for _ in range(40)]
+    # repeated-term query: the accumulator must add the term twice
+    queries.append(vocab[0] + " " + vocab[0] + " " + vocab[1])
+
+    bm = BM25()
+    idx = str(tmp_path / "idx.bin")
+    bm.build_index(docs, idx)
+    bm.open_index(idx)
+
+    k = 10
+    bdocs, bscores = bm.batch_search(queries, k, threads=4)
+    docs_buf = (ctypes.c_int32 * k)()
+    scores_buf = (ctypes.c_float * k)()
+    for r, q in enumerate(queries):
+        bm.lib.bm25_search(bm._handle, q.encode(), k, docs_buf, scores_buf)
+        assert list(bdocs[r]) == list(docs_buf), (r, q)
+        np.testing.assert_array_equal(bscores[r], np.asarray(scores_buf))
