@@ -49,9 +49,21 @@ STEPS = 64
 
 
 def main():
+    global MAX_LEN, LEN_LO, LEN_HI
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--budget-gb", type=float, default=1.5)
+    ap.add_argument("--max-len", type=int, default=None,
+                    help="per-slot reservation ceiling (uniform engine); "
+                    "the paged win scales with max_len / mean_len")
+    ap.add_argument("--len-lo", type=int, default=None)
+    ap.add_argument("--len-hi", type=int, default=None)
+    ap.add_argument("--dims", choices=("tiny", "3b"), default="tiny",
+                    help="'3b' = Llama-3.2-3B-class dims (28 layers, 8 kv "
+                    "heads, Dh=128) with int8 weights — the production "
+                    "regime VERDICT r3 asked paging to be measured in")
+    ap.add_argument("--quant", choices=("none", "int8"), default=None,
+                    help="weight quantization (default: int8 for --dims 3b)")
     ap.add_argument("--page", type=int, default=None,
                     help="override page size (tokens) — the per-page DMA "
                     "latency vs slot-count trade; default 128")
@@ -79,12 +91,27 @@ def main():
         # binds it at import and is not involved here
         pa.PAGE = args.page
 
+    if args.max_len is not None:
+        MAX_LEN = args.max_len
+    if args.len_lo is not None:
+        LEN_LO = args.len_lo
+    if args.len_hi is not None:
+        LEN_HI = args.len_hi
+
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    if on_tpu and args.dims == "3b":
+        cfg = llama.LlamaConfig(
+            vocab_size=32000, hidden_size=3072, num_layers=28, num_heads=24,
+            num_kv_heads=8, intermediate_size=8192,
+            max_position_embeddings=max(4096, MAX_LEN),
+            head_dim_override=128,
+        )  # Llama-3.2-3B-class dims
+    elif on_tpu:
         cfg = llama.LlamaConfig(
             vocab_size=32000, hidden_size=2048, num_layers=22, num_heads=32,
             num_kv_heads=4, intermediate_size=5632,
-            max_position_embeddings=4096, head_dim_override=128,
+            max_position_embeddings=max(4096, MAX_LEN),
+            head_dim_override=128,
         )  # TinyLlama dims with Dh=128 (the paged kernel's lane geometry)
     else:
         cfg = llama.LlamaConfig(
@@ -110,9 +137,17 @@ def main():
 
     params = llama.init(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    quant = args.quant or ("int8" if args.dims == "3b" else "none")
+    if quant == "int8" and on_tpu:
+        from bergen_tpu.models import convert
+        params = convert.quantize_tree_int8(params, mxu=True)
+    results0 = {"dims": args.dims, "quant": quant,
+                "max_len": int(MAX_LEN), "len_lo": int(LEN_LO),
+                "len_hi": int(LEN_HI)}
     rng = np.random.default_rng(0)
     results = {"uniform_slots": int(S_u), "paged_slots": int(S_p),
-               "n_pages": int(n_pages), "budget_gb": args.budget_gb}
+               "n_pages": int(n_pages), "budget_gb": args.budget_gb,
+               **results0}
 
     # ---- kernel parity gate (on-chip) -----------------------------------
     if on_tpu:
