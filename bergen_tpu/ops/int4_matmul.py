@@ -57,13 +57,27 @@ def _kernel(xe_ref, xo_ref, wp_ref, s_ref, out_ref, *, groups_per_blk,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = wp_ref[:]                                  # [KBh, NB] int8 packed
-    # sign-extending nibble unpack: low = (b << 4) >> 4, high = b >> 4
-    lo = jnp.right_shift(jnp.left_shift(w, 4), 4)
+    # Widen to i32 before the nibble shifts: Mosaic has no i8 vector
+    # shift lowering (arith.shli on vector<i8> aborts), and the VPU
+    # works in 32-bit lanes anyway — the widening is register-only.
+    w = wp_ref[:].astype(jnp.int32)                # [KBh, NB] packed bytes
+    # sign-extending nibble unpack: low = (b << 28) >> 28, high = b >> 4
+    # (the byte arrived sign-extended, so bit 7 == the high nibble's sign)
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
     hi = jnp.right_shift(w, 4)
     KBh, NB = w.shape
     rp = KBh // groups_per_blk                     # packed rows per group
-    sb = s_ref[:].astype(jnp.bfloat16)             # [GB, NB]
+    # s_ref holds ALL n_groups scale rows (a Mosaic block's sublane dim must
+    # be 8-aligned or full — GB is often 4).  Select this k-block's GB rows
+    # with a one-hot matmul: static shapes, no dynamic sublane slice.
+    s_full = s_ref[:]                              # [n_groups, NB] f32
+    n_groups = s_full.shape[0]
+    GB = groups_per_blk
+    rows = jax.lax.broadcasted_iota(jnp.int32, (GB, n_groups), 0) + k * GB
+    cols = jax.lax.broadcasted_iota(jnp.int32, (GB, n_groups), 1)
+    sel = (rows == cols).astype(jnp.float32)       # [GB, n_groups] one-hot
+    sb = jnp.dot(sel, s_full,
+                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     # packed row i belongs to group i // (group/2) for BOTH nibbles (the
     # group size is even, so rows 2i and 2i+1 share a group).  Dequant in
     # bf16 exactly like the XLA path (convert.dequantize_int4 with bf16
@@ -89,7 +103,9 @@ def supports(K: int, N: int, n_groups: int, block_n: int = 512,
         return False
     kb = _choose_block(K, max(group, 2), block_k)
     nb = _choose_block(N, 128, block_n)
-    return kb >= group and nb > 0
+    # xe/xo blocks are [MB, kb/2]: the lane dim kb/2 must be 128-aligned
+    # unless it spans the whole packed array (kb == K)
+    return kb >= group and nb > 0 and (kb == K or (kb // 2) % 128 == 0)
 
 
 @functools.partial(
@@ -124,6 +140,11 @@ def matmul_int4_packed(
         )
     GB = KB // group                # groups per k-block
     KBh = KB // 2                   # packed rows per k-block
+    if KB != K and KBh % 128:
+        raise ValueError(
+            f"packed k-block {KBh} not lane-aligned (K={K} KB={KB}); "
+            "gate calls with int4_matmul.supports()"
+        )
 
     # interpret mode (CPU tests): the CPU dot thunk can't do bf16xbf16=f32
     cdt = jnp.float32 if interpret else jnp.bfloat16
@@ -148,7 +169,11 @@ def matmul_int4_packed(
             pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
             pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
             pl.BlockSpec((KBh, NB), lambda m, n, k: (k, n)),
-            pl.BlockSpec((GB, NB), lambda m, n, k: (k, n)),
+            # full group axis every block: a (GB, NB) block would need GB
+            # % 8 == 0 (Mosaic sublane rule) and GB is typically 4; scales
+            # are tiny (n_groups <= K/2 rows) so reloading all rows per
+            # (n, k) step costs ~nothing and the kernel one-hot-selects
+            pl.BlockSpec((n_groups, NB), lambda m, n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((MB, NB), lambda m, n, k: (m, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
