@@ -498,7 +498,24 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128,
     (``kernel_q4p``, shape [d_in//2, d_out]; even d_in rows in the low
     nibble, odd in the high) instead of relying on the platform's jnp.int4
     support — identical HBM bytes, and int8 jit arguments work everywhere
-    (the tunneled axon plugin cannot take S4 arrays as jit args)."""
+    (the tunneled axon plugin cannot take S4 arrays as jit args).
+
+    **Dot-identity encoding** (packed mode): the stored high nibble is
+    ``hi - m`` where ``m = (lo < 0)``.  This makes the packed byte directly
+    usable as a matmul operand: with ``u = 16*(hi-m) + (lo mod 16)`` as a
+    signed int8,
+
+        dot(x, u)            == 16*dot(x, hi) + dot(x, lo)
+        dot(x, u<<4 mod 256) == 16*dot(x, lo)
+
+    so the weight-streaming kernel (``ops/int4_matmul.py``) recovers both
+    nibble dots from two MXU matmuls on byte-valued operands — no per-weight
+    unpack-and-scale in the VPU, which was 3.8x slower than the dots it fed
+    (measured on-chip, round 4).  ``unpack_int4`` inverts the encoding
+    exactly (``hi = (u >> 4) + ((u >> 3) & 1)``), so the XLA dequant path
+    and quantization tests see the same [-7, 7] nibbles as unpacked mode.
+    The nibble grid is [-7, 7] (absmax/7 scaling, as before), which keeps
+    ``hi - m`` within int4 range."""
     def visit(node):
         if isinstance(node, dict):
             if "kernel" in node and not isinstance(node["kernel"], dict):
@@ -509,7 +526,7 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128,
                     g = kf.reshape(d_in // group, group, d_out)
                     scale = jnp.max(jnp.abs(g), axis=1) / 7.0  # [n_groups, d_out]
                     scale = jnp.maximum(scale, 1e-8)
-                    q = jnp.clip(jnp.round(g / scale[:, None, :]), -8, 7)
+                    q = jnp.clip(jnp.round(g / scale[:, None, :]), -7, 7)
                     q = q.reshape(d_in, d_out)
                     if packed:
                         if d_in % 2 != 0:
@@ -521,8 +538,12 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128,
                                 f"(group={group}); pick an even group size"
                             )
                         q8 = q.astype(jnp.int8)
+                        lo, hi = q8[0::2], q8[1::2]
+                        # dot-identity encoding: hi' = hi - (lo < 0); with
+                        # nibbles in [-7, 7], hi' stays in [-8, 7]
+                        m = (lo < 0).astype(jnp.int8)
                         node["kernel_q4p"] = (
-                            (q8[0::2] & 0x0F) | (q8[1::2] << 4)
+                            ((hi - m) << 4) | (lo & 0x0F)
                         ).astype(jnp.int8)
                     else:
                         node["kernel_q4"] = q.astype(jnp.int4)
@@ -539,12 +560,15 @@ def quantize_tree_int4(params, min_size: int = 1 << 16, group: int = 128,
 
 
 def unpack_int4(kernel_q4p):
-    """[d_in//2, d_out] packed nibbles → [d_in, d_out] int8 in [-8, 7].
+    """[d_in//2, d_out] packed nibbles → [d_in, d_out] int8 in [-7, 7].
 
-    Arithmetic shifts sign-extend each nibble: low = (b << 4) >> 4,
-    high = b >> 4 (int8 right shift is arithmetic in XLA)."""
+    Inverts the dot-identity encoding (see ``quantize_tree_int4``):
+    low = (b << 4) >> 4 (arithmetic shifts sign-extend), and the stored
+    high nibble is ``hi - (lo < 0)``, so ``hi = (b >> 4) + ((b >> 3) & 1)``
+    — bit 3 of the byte is the low nibble's sign bit."""
     lo = jnp.right_shift(jnp.left_shift(kernel_q4p, 4), 4)
-    hi = jnp.right_shift(kernel_q4p, 4)
+    hi = jnp.right_shift(kernel_q4p, 4) + (
+        jnp.right_shift(kernel_q4p, 3) & 1)
     d2, d_out = kernel_q4p.shape
     return jnp.stack([lo, hi], axis=1).reshape(d2 * 2, d_out)
 

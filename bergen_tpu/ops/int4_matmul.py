@@ -6,26 +6,42 @@ matrix into HBM every decode step (measured on-chip: 1,476 tok/s vs 8,383
 for w8a8 at TinyLlama dims — documentation/performance.md "true int4"): the
 dequant is a standalone fusion whose [K, N] bf16 output cannot fuse into the
 MXU matmul, so each step reads 0.55 GB of nibbles but writes + re-reads
-~4.4 GB of bf16.  This kernel unpacks nibbles **in VMEM**: HBM weight
-traffic is the packed bytes only — HALF of w8a8's int8 reads — which is the
-like-for-like stand-in for the reference's default 4-bit small-model mode
-(reference ``models/generators/llm.py:94-121`` via bitsandbytes).
+~4.4 GB of bf16.  This kernel keeps HBM weight traffic at the packed bytes
+only — HALF of w8a8's int8 reads — which is the like-for-like stand-in for
+the reference's default 4-bit small-model mode (reference
+``models/generators/llm.py:94-121`` via bitsandbytes).
+
+**Dot-identity form** (round 4): the round-3 kernel unpacked both nibbles
+and applied group scales to the weight tiles in VMEM — ~8 VPU ops per byte,
+which measured 3.8x slower than the dots it fed (24 us vs 6.3 us for the
+[32, 2048] x [2048, 5632] decode projection, on chip).  The nibble dots are
+instead recovered algebraically from TWO byte-valued MXU operands.  With the
+pack encoding ``u = 16*(hi - m) + (lo mod 16)`` where ``m = (lo < 0)``
+(``convert.quantize_tree_int4(packed=True)``):
+
+    wsh := (u << 4) wrapped to int8  == 16 * lo          (exactly)
+    dot(x, u)  == 16*dot(x, hi) + dot(x, lo)             (m cancels)
+
+so with ``xe = x[:, 0::2]`` and ``xo = x[:, 1::2]`` (the low nibble holds
+even original rows, the high odd rows), the per-group output is
+
+    y_g = s_g * ( dot(xe, lo) + dot(xo, hi) )
+        = (dot(xe, wsh) + dot(xo, u)) * s_g/16  -  dot(xo, wsh) * s_g/256
+
+Per byte the VPU does one i32 widen, two shifts, and two bf16 casts — the
+unpack-multiply work (sign-extend both nibbles, two scale multiplies) is
+gone, replaced by three small per-group MXU dots and an O(M x N) epilogue.
+Group scales apply to dot OUTPUTS, which is what makes the identity usable
+with group-wise quantization.  The operands are exact small integers in
+bf16 (|u| <= 127, |wsh| <= 112 — both within bf16's 8-bit mantissa), so
+with integer activations and unit scales the kernel is bitwise exact
+(tests/test_int4_matmul.py), and with real activations it is *more*
+accurate than the XLA path (no bf16 rounding of dequantized weights).
 
 Layout contract (``convert.quantize_tree_int4(packed=True)``):
   ``wp[i, n]`` holds original row ``2i`` in the low nibble and ``2i+1`` in
-  the high nibble; ``scales[g, n]`` covers original rows
-  ``[g*group, (g+1)*group)``.
-
-The kernel never interleaves rows back together.  With
-``x_even = x[:, 0::2]`` and ``x_odd = x[:, 1::2]`` (strided slices built by
-XLA outside the kernel),
-
-    y = x_even @ unpack_lo(wp) + x_odd @ unpack_hi(wp)
-
-so both unpacked tiles feed the MXU in packed-row order.  Nibble extraction
-is two arithmetic int8 shifts (sign-extending); dequant multiplies the bf16
-tile by its group's scale row — all VPU work on VMEM-resident tiles,
-overlapped with the next tile's DMA by the Pallas pipeline.
+  the high nibble (dot-identity encoding); ``scales[g, n]`` covers original
+  rows ``[g*group, (g+1)*group)``.
 """
 
 from __future__ import annotations
@@ -57,38 +73,35 @@ def _kernel(xe_ref, xo_ref, wp_ref, s_ref, out_ref, *, groups_per_blk,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Widen to i32 before the nibble shifts: Mosaic has no i8 vector
-    # shift lowering (arith.shli on vector<i8> aborts), and the VPU
+    # Widen to i32 before the nibble shift: Mosaic has no i8/i16 vector
+    # shift lowering (arith.shli on narrow vectors aborts), and the VPU
     # works in 32-bit lanes anyway — the widening is register-only.
-    w = wp_ref[:].astype(jnp.int32)                # [KBh, NB] packed bytes
-    # sign-extending nibble unpack: low = (b << 28) >> 28, high = b >> 4
-    # (the byte arrived sign-extended, so bit 7 == the high nibble's sign)
-    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
-    hi = jnp.right_shift(w, 4)
-    KBh, NB = w.shape
-    rp = KBh // groups_per_blk                     # packed rows per group
-    # s_ref holds ALL n_groups scale rows (a Mosaic block's sublane dim must
-    # be 8-aligned or full — GB is often 4).  Select this k-block's GB rows
-    # with a one-hot matmul: static shapes, no dynamic sublane slice.
-    s_full = s_ref[:]                              # [n_groups, NB] f32
-    n_groups = s_full.shape[0]
+    w32 = wp_ref[:].astype(jnp.int32)              # [KBh, NB] packed bytes
+    # wsh = (u << 4) wrapped to a signed byte == 16 * lo, exactly:
+    # (w << 28) >> 24 keeps the low nibble, sign-extends it, scales by 16
+    wsh = jnp.right_shift(jnp.left_shift(w32, 28), 24).astype(cdt)
+    wb = w32.astype(cdt)                           # the byte value itself
+    KBh, NB = wsh.shape
     GB = groups_per_blk
-    rows = jax.lax.broadcasted_iota(jnp.int32, (GB, n_groups), 0) + k * GB
-    cols = jax.lax.broadcasted_iota(jnp.int32, (GB, n_groups), 1)
-    sel = (rows == cols).astype(jnp.float32)       # [GB, n_groups] one-hot
-    sb = jnp.dot(sel, s_full,
-                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    # packed row i belongs to group i // (group/2) for BOTH nibbles (the
-    # group size is even, so rows 2i and 2i+1 share a group).  Dequant in
-    # bf16 exactly like the XLA path (convert.dequantize_int4 with bf16
-    # activations); `cdt` only lifts the DOT inputs to f32 in interpret
-    # mode, where the CPU thunk can't do bf16 x bf16 = f32.
-    wl = (lo.astype(jnp.bfloat16).reshape(groups_per_blk, rp, NB)
-          * sb[:, None, :]).reshape(KBh, NB).astype(cdt)
-    wh = (hi.astype(jnp.bfloat16).reshape(groups_per_blk, rp, NB)
-          * sb[:, None, :]).reshape(KBh, NB).astype(cdt)
-    acc = jnp.dot(xe_ref[:], wl, preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(xo_ref[:], wh, preferred_element_type=jnp.float32)
+    rp = KBh // GB                                 # packed rows per group
+    # s_ref is this k-block's scale block, padded to 8 sublanes by the host
+    # (the round-3 kernel one-hot-MATMULED the rows out of the full scale
+    # array instead — but Mosaic f32 matmuls round through bf16 passes,
+    # which quietly cost the scales ~3 mantissa bits; measured 0.33 max
+    # abs error vs the f32 reference at the gate shape, vs ~1e-3 now)
+    sb = s_ref[:GB]                                # [GB, NB] f32, exact
+    sb16 = sb * (1.0 / 16.0)
+    sb256 = sb * (1.0 / 256.0)
+    acc = jnp.zeros_like(out_ref)
+    for g in range(GB):
+        sl = slice(g * rp, (g + 1) * rp)
+        dse = jnp.dot(xe_ref[:, sl], wsh[sl],
+                      preferred_element_type=jnp.float32)  # 16*dot(xe, lo)
+        dso = jnp.dot(xo_ref[:, sl], wsh[sl],
+                      preferred_element_type=jnp.float32)  # 16*dot(xo, lo)
+        d1 = jnp.dot(xo_ref[:, sl], wb[sl],
+                     preferred_element_type=jnp.float32)
+        acc = acc + ((dse + d1) * sb16[g][None, :] - dso * sb256[g][None, :])
     out_ref[:] += acc
 
 
@@ -121,10 +134,10 @@ def matmul_int4_packed(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """y = x @ dequant(wp, scales) with nibbles unpacked in VMEM.  Returns
-    f32 [M, N].  Matches the XLA path's bf16 dequant numerics (bf16 tile *
-    bf16 scale, f32 accumulation); the even/odd dot split only reorders the
-    f32 accumulation."""
+    """y = x @ dequant(wp, scales) via the dot-identity (see module doc).
+    Returns f32 [M, N].  Activations are rounded to bf16 like the XLA bf16
+    path; group scales apply to f32 dot outputs (slightly MORE accurate
+    than the XLA path's bf16 weight rounding)."""
     M, K = x.shape
     K2, N = wp.shape
     n_groups = scales.shape[0]
@@ -146,7 +159,8 @@ def matmul_int4_packed(
             "gate calls with int4_matmul.supports()"
         )
 
-    # interpret mode (CPU tests): the CPU dot thunk can't do bf16xbf16=f32
+    # interpret mode (CPU tests): the CPU dot thunk can't do bf16xbf16=f32;
+    # f32 operands keep the identity exact (small integers)
     cdt = jnp.float32 if interpret else jnp.bfloat16
     xb = x.astype(jnp.bfloat16).astype(cdt)  # bf16 rounding either way
     xe, xo = xb[:, 0::2], xb[:, 1::2]              # [M, K/2] each
@@ -161,6 +175,15 @@ def matmul_int4_packed(
         xe = jnp.pad(xe, pad)
         xo = jnp.pad(xo, pad)
 
+    # pad each k-block's GB scale rows to 8 (Mosaic sublane rule) so the
+    # kernel reads its scale block DIRECTLY — [nkb * 8, N], exact f32
+    nkb = K // KB
+    GBp = ((GB + 7) // 8) * 8
+    s3 = scales.reshape(nkb, GB, N)
+    if GBp != GB:
+        s3 = jnp.pad(s3, ((0, 0), (0, GBp - GB), (0, 0)))
+    s_pad = s3.reshape(nkb * GBp, N)
+
     grid = (Mp // MB, N // NB, K // KB)
     out = pl.pallas_call(
         functools.partial(_kernel, groups_per_blk=GB, cdt=cdt),
@@ -169,11 +192,7 @@ def matmul_int4_packed(
             pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
             pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
             pl.BlockSpec((KBh, NB), lambda m, n, k: (k, n)),
-            # full group axis every block: a (GB, NB) block would need GB
-            # % 8 == 0 (Mosaic sublane rule) and GB is typically 4; scales
-            # are tiny (n_groups <= K/2 rows) so reloading all rows per
-            # (n, k) step costs ~nothing and the kernel one-hot-selects
-            pl.BlockSpec((n_groups, NB), lambda m, n, k: (0, n)),
+            pl.BlockSpec((GBp, NB), lambda m, n, k: (k, n)),
         ],
         out_specs=pl.BlockSpec((MB, NB), lambda m, n, k: (m, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
@@ -181,5 +200,5 @@ def matmul_int4_packed(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xe, xo, wp, scales)
+    )(xe, xo, wp, s_pad)
     return out[:M]
