@@ -299,7 +299,11 @@ def bench_serving(on_tpu):
     # is unreachable for random weights over a real vocab; budgets stand in
     # for EOS variance)
 
-    buckets = (64, 128, 256, 512) if on_tpu else (16, 32, 64)
+    # finer prompt buckets cut prefill padding FLOPs (uniform 32-512 prompts
+    # padded to pow2 buckets wasted ~33% of prefill compute; 5 buckets cut
+    # that to ~15%) — both the static path and the server use them, so the
+    # comparison stays tuned-vs-tuned
+    buckets = (64, 128, 256, 384, 512) if on_tpu else (16, 32, 64)
 
     def bucket_of(n):
         for b in buckets:
@@ -374,6 +378,11 @@ def bench_serving(on_tpu):
 
 def main():
     import jax
+
+    # persistent compile cache: the serving drain alone is a multi-minute
+    # tunnel compile; repeat bench runs on the same host should hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     on_tpu = jax.default_backend() == "tpu"
 

@@ -401,6 +401,21 @@ class Retrieve:
             method == "fused" or int8_scoring
             or (on_tpu and method in ("auto", "approx"))
         )
+        # Risk-adaptive probing: corpora just above the 131k auto-fused
+        # threshold sit near the bin-collision fidelity cliff (the production
+        # E2E evidence shows fused collapsing to 0.584 overlap on a small
+        # corpus — the ladder caught it, but only a 64-query probe stood
+        # between it and a silent quality loss).  Below 512k docs the probe
+        # is also cheapest, so probe 4x as often with 2x the queries there.
+        # Env overrides: BERGEN_TPU_GUARD_EVERY / BERGEN_TPU_GUARD_QUERIES.
+        near_cliff = len(docs) < (1 << 19)
+        guard_every = int(os.environ.get(
+            "BERGEN_TPU_GUARD_EVERY",
+            GUARD_EVERY // 4 if near_cliff else GUARD_EVERY))
+        guard_max_q = int(os.environ.get(
+            "BERGEN_TPU_GUARD_QUERIES",
+            GUARD_MAX_Q * 2 if near_cliff else GUARD_MAX_Q))
+        guard_every = max(1, guard_every)
 
         if sparse:
             smethod = ("slab" if use_slab else "sketch" if use_sketch
@@ -428,11 +443,11 @@ class Retrieve:
             q_np = q_emb[s : s + self.batch_size_sim]
             if sparse:
                 vals, idxs = score_sparse(q_np, smethod)
-                if sparse_guard and bi % GUARD_EVERY == 0:
+                if sparse_guard and bi % guard_every == 0:
                     # reference = the exact densify path (full-precision
                     # values); catches sketch recall loss and int8
                     # quantization error alike
-                    nq = min(GUARD_MAX_Q, q_np.shape[0])
+                    nq = min(guard_max_q, q_np.shape[0])
                     _, ref_idx = score_sparse(q_np[:nq], "exact")
                     ref_idx = np.asarray(ref_idx)
                     overlap = _topk_overlap(np.asarray(idxs)[:nq], ref_idx, k)
@@ -465,8 +480,8 @@ class Retrieve:
                         sparse_guard = smethod != "exact"
             else:
                 vals, idxs = score_batch(q_np, method)
-                if guard_live and bi % GUARD_EVERY == 0:
-                    nq = min(GUARD_MAX_Q, q_np.shape[0])
+                if guard_live and bi % guard_every == 0:
+                    nq = min(guard_max_q, q_np.shape[0])
                     _, ref_idx = _host_exact_topk(q_np[:nq], d_emb, k)
                     overlap = _topk_overlap(np.asarray(idxs)[:nq], ref_idx, k)
                     fidelity.append(

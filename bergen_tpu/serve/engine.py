@@ -284,8 +284,8 @@ class GenerationServer:
 
     @functools.lru_cache(maxsize=None)
     def _workload_runner(self, R: int, Pmax: int, max_new: int, Lc: int,
-                         KEEP: int, G: int, A: int, branch_defs: tuple,
-                         ring: bool = True):
+                         KEEP: int, G: int, A: int, bucket_list: tuple,
+                         ring: bool = True, min_admit: int = 4):
         """Aligned-cursor drain: every slot writes its K/V at the SAME
         global cache position ``g`` each step, because each admitted prompt
         is placed so it ENDS at the current ``g`` (left-aligned into
@@ -327,16 +327,18 @@ class GenerationServer:
                 st = dict(st)
                 g = st["g"]
                 gi = jnp.minimum(st["next_grp"], G - 1)
-                reqs = jax.lax.dynamic_slice(st["grp_reqs"], (gi, 0),
-                                             (1, A))[0][:Ag]     # [Ag]
+                off = st["grp_off"]
+                # greedy partial admission: this branch admits Ag requests
+                # starting at the group's current offset (the device picked
+                # Ag = largest pow2 <= min(n_free, remaining), so every row
+                # is a real request and every slot is genuinely free)
+                reqs = jax.lax.dynamic_slice(st["grp_reqs"], (gi, off),
+                                             (1, Ag))[0]         # [Ag]
                 cnt = st["grp_cnt"][gi]
-                rvalid = jnp.arange(Ag) < cnt
+                rvalid = jnp.ones((Ag,), bool)
                 reqs_c = jnp.minimum(reqs, R - 1)
-                # free slots first (admission requires n_free >= cnt, so the
-                # first `cnt` entries are guaranteed free); padding rows go
-                # to the scratch slot S
                 order = jnp.argsort(st["active"][:S].astype(jnp.int32))
-                slots = jnp.where(rvalid, order[:Ag], S)
+                slots = order[:Ag]
                 ids_r = prompts[reqs_c][:, :Pb]      # right-padded [Ag, Pb]
                 vl = jnp.minimum(st["plens"][reqs_c], Pb)
                 ids = jax.vmap(jnp.roll)(ids_r, Pb - vl)  # left-padded
@@ -381,7 +383,10 @@ class GenerationServer:
                 st["active"] = st["active"].at[slots].set(rvalid & ~done_now)
                 st["active"] = st["active"].at[S].set(False)  # scratch
                 st["slot_req"] = st["slot_req"].at[slots].set(reqs_c)
-                st["next_grp"] = st["next_grp"] + 1
+                new_off = off + Ag
+                grp_done = new_off >= cnt
+                st["next_grp"] = st["next_grp"] + grp_done.astype(jnp.int32)
+                st["grp_off"] = jnp.where(grp_done, 0, new_off)
                 return st
 
             return branch
@@ -422,8 +427,14 @@ class GenerationServer:
                 return x
             return jax.lax.with_sharding_constraint(x, kv_sharding)
 
+        # pow2 admission sizes 1..A per bucket; branch layout is
+        # [bucket0 x sizes, bucket1 x sizes, ...] so the device computes
+        # branch = bucket_pos * (LS_MAX+1) + log2(size)
+        LS_MAX = max(0, A.bit_length() - 1)
+        MIN_ADMIT = max(1, min(min_admit, A))
+
         def run(params, prompts, plens, max_news, grp_reqs, grp_cnt,
-                grp_bidx, budget, rng):
+                grp_bpos, budget, rng):
             st = {
                 "max_news": max_news,
                 "k": _constrain(jnp.zeros((NL, S + 1, Lc, KH, DH), dtype)),
@@ -437,16 +448,18 @@ class GenerationServer:
                 "out": jnp.full((R, max_new), pad, jnp.int32),
                 "n_out": jnp.zeros((R,), jnp.int32),
                 "next_grp": jnp.int32(0),
+                "grp_off": jnp.int32(0),
                 "it": jnp.int32(0),
                 "budget": budget,
                 "plens": plens,
                 "grp_reqs": grp_reqs,
                 "grp_cnt": grp_cnt,
-                "grp_bidx": grp_bidx,
+                "grp_bpos": grp_bpos,
                 "rng": rng,
             }
-            branches = [make_prefill_branch(Pb, Ag)
-                        for (Pb, Ag) in branch_defs]
+            branches = [make_prefill_branch(Pb, 1 << ls)
+                        for Pb in bucket_list
+                        for ls in range(LS_MAX + 1)]
 
             def work_left(st):
                 return jnp.any(st["active"]) | (st["next_grp"] < G)
@@ -464,11 +477,31 @@ class GenerationServer:
                 st = dict(st)
                 st["rng"] = rng
                 st["it"] = st["it"] + 1
-                # ---- admit the next scheduled group if slots allow ----
+                # ---- greedy partial admission: take the largest pow2
+                # prefix of the current group that fits the free slots.
+                # Waiting for the WHOLE group (round-4 v1) left an average
+                # of A/2 slots idle while they drained; admitting pow2
+                # prefixes keeps occupancy high, and the min-admit floor
+                # (min(MIN_ADMIT, remaining rounded down to pow2)) stops
+                # the batch-1 prefill storm that sank the round-3 drain ----
                 gi = jnp.minimum(st["next_grp"], G - 1)
                 n_free = jnp.sum(~st["active"][:S])
-                can = (st["next_grp"] < G) & (n_free >= st["grp_cnt"][gi])
-                bidx = st["grp_bidx"][gi]
+                rem = st["grp_cnt"][gi] - st["grp_off"]
+                n = jnp.minimum(n_free, rem)
+
+                def pow2_log(v):  # log2 of largest pow2 <= v (v >= 1)
+                    acc = jnp.int32(0)
+                    for kk in range(1, LS_MAX + 1):
+                        acc = acc + (v >= (1 << kk)).astype(jnp.int32)
+                    return acc
+
+                lsize = pow2_log(n)
+                size = jnp.left_shift(1, lsize)
+                floor = jnp.minimum(
+                    jnp.left_shift(1, pow2_log(rem)), MIN_ADMIT)
+                can = ((st["next_grp"] < G) & (rem > 0)
+                       & (n_free >= size) & (size >= floor))
+                bidx = st["grp_bpos"][gi] * (LS_MAX + 1) + lsize
 
                 def do_admit(st):
                     return jax.lax.switch(
@@ -543,14 +576,18 @@ class GenerationServer:
 
     def plan_workload(self, prompt_ids_list: List[List[int]],
                       max_new_tokens: int | List[int] = 64,
-                      admit_width: int = 8, ring: bool = True):
+                      admit_width: int = 8, ring: bool = True,
+                      min_admit: int = 4):
         """Host-side schedule for ``run_workload``: pad prompts, then group
         requests into same-bucket admission groups of <= ``admit_width``,
         **longest generation budget first** (long-budget requests admitted
         early finish alongside everything else instead of straggling; the
         admission ORDER cannot change any request's greedy tokens — each
-        slot attends only to its own history).  Returns
-        ``(runner, args: tuple)`` with ``runner(*args) -> (out, n_out)``.
+        slot attends only to its own history).  The device admits pow2-sized
+        PREFIXES of the current group as soon as ``min(min_admit,
+        remaining)`` slots are free (greedy partial admission) instead of
+        waiting for the whole group.  Returns ``(runner, args: tuple)`` with
+        ``runner(*args) -> (out, n_out, iters)``.
         """
         R = len(prompt_ids_list)
         A = max(1, min(admit_width, self.S))
@@ -565,43 +602,34 @@ class GenerationServer:
             ids = np.asarray(ids, np.int32)[-Pmax:]
             prompts[r, : len(ids)] = ids
             plens[r] = len(ids)
-        # --- schedule: longest budgets first, same-bucket groups.  Group
-        # sizes are powers of two <= A: full groups of A, remainders covered
-        # by their binary decomposition (a remainder of 7 prefills as 4+2+1
-        # instead of one [8, Pb] forward that wastes 7 padded rows on FLOPs;
-        # pow2 sizes keep the compiled-branch set bounded so production
-        # batches of varying shape don't recompile per workload) ---
+        # --- schedule: longest budgets first, same-bucket groups of <= A.
+        # The DEVICE admits pow2-sized prefixes of each group greedily
+        # (largest pow2 <= min(free slots, remaining), floored at
+        # min(min_admit, remaining)), so the host no longer pow2-decomposes
+        # groups: it just chunks each bucket's budget-desc request list.
+        # The branch set is every (bucket present) x (pow2 size <= A) —
+        # bounded, so production batches of varying shape don't recompile ---
         order = np.argsort(-max_news, kind="stable")
         by_bucket: Dict[int, list] = {}
         for r in order:
             by_bucket.setdefault(self._bucket(int(plens[r])), []).append(
                 int(r))
-        groups: List[tuple] = []  # (bucket, size, [request ids budget-desc])
+        groups: List[tuple] = []  # (bucket, [request ids budget-desc])
         for b, rs in by_bucket.items():
-            i = 0
-            while len(rs) - i >= A:
-                groups.append((b, A, rs[i:i + A]))
-                i += A
-            rem = len(rs) - i
-            while rem:
-                size = 1
-                while size * 2 <= rem and size * 2 <= A:
-                    size *= 2
-                groups.append((b, size, rs[i:i + size]))
-                i += size
-                rem -= size
+            for i in range(0, len(rs), A):
+                groups.append((b, rs[i:i + A]))
         # a group's first member holds its max budget (budget-desc fill)
-        groups.sort(key=lambda g: -int(max_news[g[2][0]]))
-        branch_defs = tuple(sorted({(b, s) for b, s, _ in groups}))
-        bmap = {bs: i for i, bs in enumerate(branch_defs)}
+        groups.sort(key=lambda g: -int(max_news[g[1][0]]))
+        bucket_list = tuple(sorted({b for b, _ in groups}))
+        bpos = {b: i for i, b in enumerate(bucket_list)}
         G = len(groups)
         grp_reqs = np.full((G, A), R, np.int32)  # R = padding sentinel
         grp_cnt = np.zeros(G, np.int32)
-        grp_bidx = np.zeros(G, np.int32)
-        for gi, (b, s, rs) in enumerate(groups):
+        grp_bpos = np.zeros(G, np.int32)
+        for gi, (b, rs) in enumerate(groups):
             grp_reqs[gi, : len(rs)] = rs
             grp_cnt[gi] = len(rs)
-            grp_bidx[gi] = bmap[(b, s)]
+            grp_bpos[gi] = bpos[b]
         # cache geometry: any live window fits in KEEP positions; 128+ of
         # shift slack keeps the compaction copy amortized to ~2 positions
         # per slot per step
@@ -619,16 +647,18 @@ class GenerationServer:
                 max_news.max())
             Lc = Pmax + ((iters + 127) // 128) * 128
         # iteration backstop (normal termination is all-requests-done):
-        # one iteration per admission group + every generated token even at
-        # occupancy 1 + shift/wait slack
-        budget = G + int(max_news.sum()) + int(max_news.max()) + 64
+        # up to one admission iteration per REQUEST (greedy prefixes can
+        # split a group) + every generated token even at occupancy 1 +
+        # shift/wait slack
+        budget = R + int(max_news.sum()) + int(max_news.max()) + 64
         runner = self._workload_runner(
-            R, Pmax, int(max_news.max()), Lc, KEEP, G, A, branch_defs, ring
+            R, Pmax, int(max_news.max()), Lc, KEEP, G, A, bucket_list, ring,
+            min_admit=min_admit,
         )
         args = (
             self.params, jnp.asarray(prompts), jnp.asarray(plens),
             jnp.asarray(max_news), jnp.asarray(grp_reqs),
-            jnp.asarray(grp_cnt), jnp.asarray(grp_bidx),
+            jnp.asarray(grp_cnt), jnp.asarray(grp_bpos),
             jnp.int32(budget), self._next_key(),
         )
         return runner, args

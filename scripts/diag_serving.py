@@ -33,6 +33,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="8:on,8:off,1:off")
     ap.add_argument("--slots", type=int, default=32)
+    ap.add_argument("--min-admit", type=int, default=4,
+                    help="greedy partial-admission floor (1 = admit on any "
+                         "free slot; admit_width = wait for a full group)")
+    ap.add_argument("--fine-buckets", action="store_true",
+                    help="use the 5-bucket prompt grid (64,128,256,384,512) "
+                         "that cuts prefill padding FLOPs")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -56,7 +62,8 @@ def main():
         )
         R, SLOTS, PMAX = 64, args.slots, 512
         len_lo, len_hi, new_lo, new_hi = 32, 512, 8, 128
-        buckets = (64, 128, 256, 512)
+        buckets = ((64, 128, 256, 384, 512) if args.fine_buckets
+                   else (64, 128, 256, 512))
     else:
         cfg = llama.LlamaConfig(
             vocab_size=1000, hidden_size=256, num_layers=2, num_heads=4,
@@ -88,7 +95,8 @@ def main():
             max_len=PMAX + int(max_news.max()) + 1, prompt_buckets=buckets,
         )
         runner, rargs = server.plan_workload(
-            prompts, list(map(int, max_news)), admit_width=aw, ring=ring)
+            prompts, list(map(int, max_news)), admit_width=aw, ring=ring,
+            min_admit=args.min_admit)
 
         _log(f"variant A={aw} ring={ring}: compiling")
         # a drain is ~1 s of device time, so plain repeated dispatches are
