@@ -105,6 +105,41 @@ def _kernel(xe_ref, xo_ref, wp_ref, s_ref, out_ref, *, groups_per_blk,
     out_ref[:] += acc
 
 
+def _kernel_stacked(xs_ref, xo_ref, wp_ref, s_ref, out_ref, *,
+                    groups_per_blk, cdt=jnp.bfloat16):
+    """Stacked-rows form of ``_kernel``: the caller stacks ``[xe; xo]`` on
+    the row axis, so ``dot(xs, wsh)`` yields BOTH ``16*dot(xe, lo)`` and
+    ``16*dot(xo, lo)`` in one MXU dispatch — 2 dots per group instead of 3,
+    and each dot carries 2x the rows (M=32 decode fills 64 of the MXU's 128
+    rows instead of 32).  Same algebra, same outputs."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w32 = wp_ref[:].astype(jnp.int32)
+    wsh = jnp.right_shift(jnp.left_shift(w32, 28), 24).astype(cdt)
+    wb = w32.astype(cdt)
+    KBh, NB = wsh.shape
+    GB = groups_per_blk
+    rp = KBh // GB
+    sb = s_ref[:GB]
+    sb16 = sb * (1.0 / 16.0)
+    sb256 = sb * (1.0 / 256.0)
+    MB = xo_ref.shape[0]
+    acc = jnp.zeros_like(out_ref)
+    for g in range(GB):
+        sl = slice(g * rp, (g + 1) * rp)
+        dsh = jnp.dot(xs_ref[:, sl], wsh[sl],
+                      preferred_element_type=jnp.float32)  # [2MB, NB]
+        d1 = jnp.dot(xo_ref[:, sl], wb[sl],
+                     preferred_element_type=jnp.float32)
+        acc = acc + ((dsh[:MB] + d1) * sb16[g][None, :]
+                     - dsh[MB:] * sb256[g][None, :])
+    out_ref[:] += acc
+
+
 def supports(K: int, N: int, n_groups: int, block_n: int = 512,
              block_k: int = 512) -> bool:
     """Static shape envelope of the kernel (callers fall back to the XLA
@@ -123,7 +158,7 @@ def supports(K: int, N: int, n_groups: int, block_n: int = 512,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "interpret"),
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "stacked"),
 )
 def matmul_int4_packed(
     x: jnp.ndarray,        # [M, K] bf16/f32 activations
@@ -133,11 +168,15 @@ def matmul_int4_packed(
     block_n: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    stacked: bool = False,
 ) -> jnp.ndarray:
     """y = x @ dequant(wp, scales) via the dot-identity (see module doc).
     Returns f32 [M, N].  Activations are rounded to bf16 like the XLA bf16
     path; group scales apply to f32 dot outputs (slightly MORE accurate
-    than the XLA path's bf16 weight rounding)."""
+    than the XLA path's bf16 weight rounding).  ``stacked=True`` selects
+    the 2-dots-per-group kernel (``_kernel_stacked``): same algebra, fewer
+    MXU dispatches, 2x the rows per dot — opt-in until its on-chip timing
+    beats the 3-dot form (parity is tested for both)."""
     M, K = x.shape
     K2, N = wp.shape
     n_groups = scales.shape[0]
@@ -185,6 +224,30 @@ def matmul_int4_packed(
     s_pad = s3.reshape(nkb * GBp, N)
 
     grid = (Mp // MB, N // NB, K // KB)
+    if stacked:
+        # interleave per m-block so row-block m of xs is [xe_m; xo_m]:
+        # one dot computes both lo-dots (see _kernel_stacked)
+        nm = Mp // MB
+        xs = jnp.concatenate(
+            [xe.reshape(nm, MB, K2), xo.reshape(nm, MB, K2)], axis=1
+        ).reshape(2 * Mp, K2)
+        out = pl.pallas_call(
+            functools.partial(_kernel_stacked, groups_per_blk=GB, cdt=cdt),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * MB, KBh), lambda m, n, k: (m, k)),
+                pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
+                pl.BlockSpec((KBh, NB), lambda m, n, k: (k, n)),
+                pl.BlockSpec((GBp, NB), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((MB, NB), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(xs, xo, wp, s_pad)
+        return out[:M]
     out = pl.pallas_call(
         functools.partial(_kernel, groups_per_blk=GB, cdt=cdt),
         grid=grid,

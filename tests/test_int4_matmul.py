@@ -39,18 +39,20 @@ def _f32_ref(x, wp, scales):
     return jnp.dot(xb, w, preferred_element_type=jnp.float32)
 
 
+@pytest.mark.parametrize("stacked", [True, False])
 @pytest.mark.parametrize("M,K,N,group", [
     (4, 256, 256, 128),
     (32, 512, 384, 128),
     (3, 256, 512, 64),     # odd M, small group
     (130, 512, 256, 128),  # M crosses one block row
 ])
-def test_matches_f32_dequant(M, K, N, group):
+def test_matches_f32_dequant(M, K, N, group, stacked):
     rng = np.random.default_rng(0)
     wp, scales = _pack(rng, K, N, group)
     x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
     assert int4_matmul.supports(K, N, scales.shape[0])
-    got = int4_matmul.matmul_int4_packed(x, wp, scales, interpret=INTERPRET)
+    got = int4_matmul.matmul_int4_packed(x, wp, scales, interpret=INTERPRET,
+                                         stacked=stacked)
     ref = _f32_ref(x, wp, scales)
     # only f32 accumulation order differs (per-group dots + identity combine)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
