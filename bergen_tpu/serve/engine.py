@@ -464,37 +464,23 @@ class GenerationServer:
             def work_left(st):
                 return jnp.any(st["active"]) | (st["next_grp"] < G)
 
-            def cond(st):
-                c = work_left(st) & (st["it"] < st["budget"])
-                if ring:
-                    # inner loop of the epoch structure: leave before the
-                    # cursor runs off the cache; the outer loop compacts
-                    c = c & (st["g"] < Lc - 1)
-                return c
+            def pow2_log(v):  # log2 of largest pow2 <= v (v >= 1)
+                acc = jnp.int32(0)
+                for kk in range(1, LS_MAX + 1):
+                    acc = acc + (v >= (1 << kk)).astype(jnp.int32)
+                return acc
 
-            def body(st):
-                rng, k_admit, k_step = jax.random.split(st["rng"], 3)
-                st = dict(st)
-                st["rng"] = rng
-                st["it"] = st["it"] + 1
-                # ---- greedy partial admission: take the largest pow2
-                # prefix of the current group that fits the free slots.
-                # Waiting for the WHOLE group (round-4 v1) left an average
-                # of A/2 slots idle while they drained; admitting pow2
-                # prefixes keeps occupancy high, and the min-admit floor
-                # (min(MIN_ADMIT, remaining rounded down to pow2)) stops
-                # the batch-1 prefill storm that sank the round-3 drain ----
+            def admit_plan(st):
+                """Scalars only (safe inside a while-loop predicate): which
+                admission, if any, is possible right now.  Greedy partial
+                admission: the largest pow2 prefix of the current group that
+                fits the free slots, floored at min(MIN_ADMIT, remaining) —
+                the floor stops the batch-1 prefill storm that sank the
+                round-3 drain."""
                 gi = jnp.minimum(st["next_grp"], G - 1)
                 n_free = jnp.sum(~st["active"][:S])
                 rem = st["grp_cnt"][gi] - st["grp_off"]
                 n = jnp.minimum(n_free, rem)
-
-                def pow2_log(v):  # log2 of largest pow2 <= v (v >= 1)
-                    acc = jnp.int32(0)
-                    for kk in range(1, LS_MAX + 1):
-                        acc = acc + (v >= (1 << kk)).astype(jnp.int32)
-                    return acc
-
                 lsize = pow2_log(n)
                 size = jnp.left_shift(1, lsize)
                 floor = jnp.minimum(
@@ -502,6 +488,85 @@ class GenerationServer:
                 can = ((st["next_grp"] < G) & (rem > 0)
                        & (n_free >= size) & (size >= floor))
                 bidx = st["grp_bpos"][gi] * (LS_MAX + 1) + lsize
+                return can, bidx
+
+            def inner_cond(st):
+                # pure-decode phase: run while slots are active, NO admission
+                # is warranted, and (ring) the cursor has room.  Admission
+                # and compaction live in the OUTER body: a lax.cond over the
+                # caches inside this loop forced whole-cache copies EVERY
+                # iteration (same pathology `shift` documents; measured
+                # ~6.1 ms/iter vs ~3.8 ms for the raw decode step).
+                can, _ = admit_plan(st)
+                c = (jnp.any(st["active"]) & ~can
+                     & (st["it"] < st["budget"]))
+                if ring:
+                    c = c & (st["g"] < Lc - 1)
+                return c
+
+            def decode_body(st):
+                # one decode step for all active slots at shared g —
+                # UNCONDITIONAL: inner_cond guarantees at least one active
+                # slot, so the caches never pass through a lax.cond here
+                rng, k_step = jax.random.split(st["rng"])
+                st = dict(st)
+                st["rng"] = rng
+                st["it"] = st["it"] + 1
+                g = st["g"]
+                cache = {"k": st["k"], "v": st["v"], "cursor": g}
+                # the new token at position g attends to itself plus the
+                # slot's own valid history
+                valid = st["valid"].at[:, g].set(True)
+                logits, cache = llama.forward(
+                    params, cfg_, st["cur_tok"][:, None],
+                    st["tok_pos"][:, None], cache, valid[:, None, :],
+                )
+                last = logits[:, 0]
+                if temp_ > 0:
+                    nxt = llama.sample_token(last, k_step, temp_, top_p_)
+                else:
+                    nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                st["k"], st["v"] = cache["k"], cache["v"]
+                # position g joins the sequences of ACTIVE slots only
+                st["valid"] = st["valid"].at[:, g].set(st["active"])
+                st["g"] = g + 1
+                reqs = st["slot_req"]
+                pos = st["n_out"][reqs]  # per-slot write offset
+                write_pos = jnp.where(st["active"], pos, max_new)
+                st["out"] = st["out"].at[reqs, write_pos].set(
+                    nxt, mode="drop"
+                )
+                st["n_out"] = st["n_out"].at[reqs].add(
+                    st["active"].astype(jnp.int32)
+                )
+                st["tok_pos"] = st["tok_pos"] + st["active"].astype(
+                    jnp.int32
+                )
+                st["cur_tok"] = jnp.where(st["active"], nxt,
+                                          st["cur_tok"])
+                finished = st["active"] & (
+                    (nxt == eos)
+                    | (st["n_out"][reqs] >= st["max_news"][reqs])
+                )
+                st["active"] = st["active"] & ~finished
+                return st
+
+            # epoch structure: the inner while decodes (cache-cond-free)
+            # until admission is warranted or the cursor nears the cache
+            # end; the outer body compacts UNCONDITIONALLY (see `shift`)
+            # and admits at most one pow2 group prefix — the cache copy a
+            # lax.cond forces is paid once per EPOCH, not per token
+            def outer_cond(st):
+                return work_left(st) & (st["it"] < st["budget"])
+
+            def outer_body(st):
+                if ring:
+                    st = shift(st)
+                rng, k_admit = jax.random.split(st["rng"])
+                st = dict(st)
+                st["rng"] = rng
+                st["it"] = st["it"] + 1  # epochs count against the budget
+                can, bidx = admit_plan(st)
 
                 def do_admit(st):
                     return jax.lax.switch(
@@ -509,67 +574,9 @@ class GenerationServer:
                     )
 
                 st = jax.lax.cond(can, do_admit, lambda s: s, st)
-                # ---- one decode step for all active slots at shared g ----
-                any_active = jnp.any(st["active"])
+                return jax.lax.while_loop(inner_cond, decode_body, st)
 
-                def do_step(st):
-                    g = st["g"]
-                    cache = {"k": st["k"], "v": st["v"], "cursor": g}
-                    # the new token at position g attends to itself plus the
-                    # slot's own valid history
-                    valid = st["valid"].at[:, g].set(True)
-                    logits, cache = llama.forward(
-                        params, cfg_, st["cur_tok"][:, None],
-                        st["tok_pos"][:, None], cache, valid[:, None, :],
-                    )
-                    last = logits[:, 0]
-                    if temp_ > 0:
-                        nxt = llama.sample_token(last, k_step, temp_, top_p_)
-                    else:
-                        nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
-                    st = dict(st)
-                    st["k"], st["v"] = cache["k"], cache["v"]
-                    # position g joins the sequences of ACTIVE slots only
-                    st["valid"] = st["valid"].at[:, g].set(st["active"])
-                    st["g"] = g + 1
-                    reqs = st["slot_req"]
-                    pos = st["n_out"][reqs]  # per-slot write offset
-                    write_pos = jnp.where(st["active"], pos, max_new)
-                    st["out"] = st["out"].at[reqs, write_pos].set(
-                        nxt, mode="drop"
-                    )
-                    st["n_out"] = st["n_out"].at[reqs].add(
-                        st["active"].astype(jnp.int32)
-                    )
-                    st["tok_pos"] = st["tok_pos"] + st["active"].astype(
-                        jnp.int32
-                    )
-                    st["cur_tok"] = jnp.where(st["active"], nxt,
-                                              st["cur_tok"])
-                    finished = st["active"] & (
-                        (nxt == eos)
-                        | (st["n_out"][reqs] >= st["max_news"][reqs])
-                    )
-                    st["active"] = st["active"] & ~finished
-                    return st
-
-                return jax.lax.cond(any_active, do_step, lambda s: s, st)
-
-            if ring:
-                # epoch structure: the inner while drains until the cursor
-                # nears the cache end; the outer body compacts UNCONDITIONALLY
-                # (a per-iteration cond on the caches forced whole-cache
-                # copies — see `shift`), costing one self-copy per epoch
-                def outer_cond(st):
-                    return work_left(st) & (st["it"] < st["budget"])
-
-                def outer_body(st):
-                    st = shift(st)
-                    return jax.lax.while_loop(cond, body, st)
-
-                st = jax.lax.while_loop(outer_cond, outer_body, st)
-            else:
-                st = jax.lax.while_loop(cond, body, st)
+            st = jax.lax.while_loop(outer_cond, outer_body, st)
             return st["out"], st["n_out"], st["it"]
 
         return jax.jit(run)
@@ -647,10 +654,14 @@ class GenerationServer:
                 max_news.max())
             Lc = Pmax + ((iters + 127) // 128) * 128
         # iteration backstop (normal termination is all-requests-done):
-        # up to one admission iteration per REQUEST (greedy prefixes can
-        # split a group) + every generated token even at occupancy 1 +
-        # shift/wait slack
-        budget = R + int(max_news.sum()) + int(max_news.max()) + 64
+        # up to one admission EPOCH per request (greedy prefixes can split
+        # a group; every epoch increments `it`) + every generated token
+        # even at occupancy 1 + ring-compaction epochs (one per `slack`
+        # decode steps of cursor headroom — the ACTUAL epoch length, which
+        # plan_workload keeps >= 48 but not necessarily >= 128) + wait slack
+        tot = int(max_news.sum())
+        slack = max(1, Lc - 1 - KEEP) if ring else max(1, Lc)
+        budget = 2 * R + tot + int(max_news.max()) + tot // slack + 128
         runner = self._workload_runner(
             R, Pmax, int(max_news.max()), Lc, KEEP, G, A, bucket_list, ring,
             min_admit=min_admit,

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--fine-buckets", action="store_true",
                     help="use the 5-bucket prompt grid (64,128,256,384,512) "
                          "that cuts prefill padding FLOPs")
+    ap.add_argument("--new-tokens", type=int, default=0,
+                    help="override every request's generation budget (e.g. 1 "
+                         "= prefill/admission-only probe that isolates the "
+                         "prefill share of the drain; 0 = the bench mix)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -83,6 +87,8 @@ def main():
     rng = np.random.default_rng(0)
     plens = rng.integers(len_lo, len_hi + 1, R)
     max_news = rng.integers(new_lo, new_hi + 1, R)
+    if args.new_tokens:
+        max_news = np.full(R, args.new_tokens, max_news.dtype)
     prompts = [list(rng.integers(3, cfg.vocab_size, n)) for n in plens]
     total_new = int(max_news.sum())
 
