@@ -140,6 +140,83 @@ def _kernel_stacked(xs_ref, xo_ref, wp_ref, s_ref, out_ref, *,
     out_ref[:] += acc
 
 
+def _kernel_duo(xe_ref, xo_ref, wp_ref, s_ref, out_ref, *, groups_per_blk,
+                cdt=jnp.bfloat16):
+    """Two dots per group via the rebalanced identity
+
+        dot(xe, lo) + dot(xo, hi) = [dot(xe - xo/16, wsh) + dot(xo, u)] / 16
+
+    (substitute wsh = 16*lo and u = 16*hi + lo: the dot(xo, lo) terms
+    cancel).  Versus ``_kernel`` this removes the third dot outright —
+    the disentangling moves into the activation operand (one fused VPU
+    multiply-subtract over [MB, KBh]) instead of a third MXU dispatch.
+    Exactness: xe - xo/16 is exactly representable in bf16 for the
+    integer parity tests (|xe| <= 8 plus a 4-bit fraction fits bf16's
+    8 mantissa bits), so the bitwise-exact test regime is preserved."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w32 = wp_ref[:].astype(jnp.int32)
+    wsh = jnp.right_shift(jnp.left_shift(w32, 28), 24).astype(cdt)
+    wb = w32.astype(cdt)
+    KBh, NB = wsh.shape
+    GB = groups_per_blk
+    rp = KBh // GB
+    sb = s_ref[:GB]
+    sb16 = sb * (1.0 / 16.0)
+    xo = xo_ref[:]
+    xa = (xe_ref[:].astype(jnp.float32)
+          - xo.astype(jnp.float32) * (1.0 / 16.0)).astype(cdt)
+    acc = jnp.zeros_like(out_ref)
+    for g in range(GB):
+        sl = slice(g * rp, (g + 1) * rp)
+        da = jnp.dot(xa[:, sl], wsh[sl],
+                     preferred_element_type=jnp.float32)
+        db = jnp.dot(xo[:, sl], wb[sl],
+                     preferred_element_type=jnp.float32)
+        acc = acc + (da + db) * sb16[g][None, :]
+    out_ref[:] += acc
+
+
+def _kernel_mono(x2_ref, wp_ref, s_ref, out_ref, *, groups_per_blk,
+                 cdt=jnp.bfloat16):
+    """ONE dot per group at full ``group`` depth: the same rebalanced
+    identity as ``_kernel_duo``, with the two dots fused by concatenating
+    operands along K — ``dot([xe - xo/16 ; xo], [wsh ; u])``.  The host
+    pre-interleaves the activation side per group (O(M*K), trivial at
+    decode M); the kernel concatenates the two byte forms per group
+    ([wsh_g ; u_g], a sublane-blocked copy).  A k-block of 4 groups is 4
+    MXU dots of [M, group] x [group, NB] instead of 12 of [M, group/2]."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w32 = wp_ref[:].astype(jnp.int32)
+    wsh = jnp.right_shift(jnp.left_shift(w32, 28), 24).astype(cdt)
+    wb = w32.astype(cdt)
+    KBh, NB = wsh.shape
+    GB = groups_per_blk
+    rp = KBh // GB
+    sb = s_ref[:GB]
+    sb16 = sb * (1.0 / 16.0)
+    # [GB, 2*rp, NB]: rows [wsh_g ; u_g] per group
+    w2 = jnp.concatenate(
+        [wsh.reshape(GB, rp, NB), wb.reshape(GB, rp, NB)], axis=1
+    )
+    g2 = 2 * rp
+    acc = jnp.zeros_like(out_ref)
+    for g in range(GB):
+        d = jnp.dot(x2_ref[:, g * g2:(g + 1) * g2], w2[g],
+                    preferred_element_type=jnp.float32)
+        acc = acc + d * sb16[g][None, :]
+    out_ref[:] += acc
+
+
 def supports(K: int, N: int, n_groups: int, block_n: int = 512,
              block_k: int = 512) -> bool:
     """Static shape envelope of the kernel (callers fall back to the XLA
@@ -158,7 +235,8 @@ def supports(K: int, N: int, n_groups: int, block_n: int = 512,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "interpret", "stacked"),
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "stacked",
+                     "form"),
 )
 def matmul_int4_packed(
     x: jnp.ndarray,        # [M, K] bf16/f32 activations
@@ -169,14 +247,26 @@ def matmul_int4_packed(
     block_k: int = 512,
     interpret: bool = False,
     stacked: bool = False,
+    form: str | None = None,  # "3dot" | "stacked" | "duo" | "mono"
 ) -> jnp.ndarray:
     """y = x @ dequant(wp, scales) via the dot-identity (see module doc).
     Returns f32 [M, N].  Activations are rounded to bf16 like the XLA bf16
     path; group scales apply to f32 dot outputs (slightly MORE accurate
-    than the XLA path's bf16 weight rounding).  ``stacked=True`` selects
-    the 2-dots-per-group kernel (``_kernel_stacked``): same algebra, fewer
-    MXU dispatches, 2x the rows per dot — opt-in until its on-chip timing
-    beats the 3-dot form (parity is tested for both)."""
+    than the XLA path's bf16 weight rounding).
+
+    ``form`` selects the kernel body (all four compute the same algebra;
+    parity is tested for each):
+
+    * ``"3dot"``  — round-4 shipped form: 3 dots of [M, group/2] per group.
+    * ``"stacked"`` — 2 dots per group, one carrying [2M] rows.
+    * ``"duo"``   — 2 dots of [M, group/2] per group via the rebalanced
+      identity (the disentangling rides the activation operand).
+    * ``"mono"``  — 1 dot of [M, group] per group (operands concatenated
+      along K) — the round-5 default on chip: fewest MXU dispatches and
+      full-depth dots (measured fastest at every decode projection shape,
+      see documentation/performance.md round-5 decode table).
+
+    ``stacked=True`` is the legacy spelling of ``form="stacked"``."""
     M, K = x.shape
     K2, N = wp.shape
     n_groups = scales.shape[0]
@@ -223,8 +313,56 @@ def matmul_int4_packed(
         s3 = jnp.pad(s3, ((0, 0), (0, GBp - GB), (0, 0)))
     s_pad = s3.reshape(nkb * GBp, N)
 
+    if form is None:
+        form = "stacked" if stacked else "3dot"
+    if form == "mono" and not (KB == K or KB % 128 == 0):
+        form = "duo"  # mono's x2 lane dim is KB; fall back when unaligned
+
     grid = (Mp // MB, N // NB, K // KB)
-    if stacked:
+    compiler_params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if form == "mono":
+        # host-side per-group interleave of the activation operand:
+        # X2[:, g*group:(g+1)*group] = [xe_g - xo_g/16 ; xo_g]
+        G = K // group
+        rp = group // 2
+        xa = (xe.astype(jnp.float32)
+              - xo.astype(jnp.float32) * (1.0 / 16.0)).astype(cdt)
+        x2 = jnp.stack(
+            [xa.reshape(Mp, G, rp), xo.reshape(Mp, G, rp)], axis=2
+        ).reshape(Mp, K)
+        out = pl.pallas_call(
+            functools.partial(_kernel_mono, groups_per_blk=GB, cdt=cdt),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((MB, KB), lambda m, n, k: (m, k)),
+                pl.BlockSpec((KBh, NB), lambda m, n, k: (k, n)),
+                pl.BlockSpec((GBp, NB), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((MB, NB), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(x2, wp, s_pad)
+        return out[:M]
+    if form == "duo":
+        out = pl.pallas_call(
+            functools.partial(_kernel_duo, groups_per_blk=GB, cdt=cdt),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
+                pl.BlockSpec((MB, KBh), lambda m, n, k: (m, k)),
+                pl.BlockSpec((KBh, NB), lambda m, n, k: (k, n)),
+                pl.BlockSpec((GBp, NB), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((MB, NB), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(xe, xo, wp, s_pad)
+        return out[:M]
+    if form == "stacked":
         # interleave per m-block so row-block m of xs is [xe_m; xo_m]:
         # one dot computes both lo-dots (see _kernel_stacked)
         nm = Mp // MB

@@ -152,6 +152,11 @@ def _load_rescore_lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
         ]
+        try:
+            lib.sparse_rescore_f32_mt.argtypes = (
+                lib.sparse_rescore_f32.argtypes + [ctypes.c_int32])
+        except AttributeError:  # stale pre-round-5 .so on disk
+            pass
         _RESCORE_LIB = lib
     except Exception:
         _RESCORE_LIB = None
@@ -159,13 +164,17 @@ def _load_rescore_lib():
 
 
 def rescore_exact(vals: np.ndarray, idx: np.ndarray, cand: np.ndarray,
-                  q_dense: np.ndarray) -> np.ndarray:
+                  q_dense: np.ndarray, threads: int | None = None
+                  ) -> np.ndarray:
     """Exact sparse scores of candidate docs: [Q, C] f32.
 
     ``sum_j vals[cand, j] * q_dense[q, idx[cand, j]]`` — the same math the
     exact densify path computes for ALL docs, applied only to stage-1
-    winners.  C++ (native/rescore) when buildable, vectorised numpy
-    otherwise (identical results)."""
+    winners.  C++ (native/rescore: runtime-dispatched AVX-512/AVX2 gather
+    FMAs, queries sharded over ``threads``) when buildable, vectorised
+    numpy otherwise (identical results up to f32 summation order).
+    ``threads`` defaults to ``BERGEN_TPU_RESCORE_THREADS`` or the host
+    core count."""
     Q, C = cand.shape
     vals = np.ascontiguousarray(vals, np.float32)
     idx = np.ascontiguousarray(idx, np.int32)
@@ -180,13 +189,24 @@ def rescore_exact(vals: np.ndarray, idx: np.ndarray, cand: np.ndarray,
         raise ValueError("sparse idx exceeds query vocab width")
     lib = _load_rescore_lib()
     if lib is not None:
+        if threads is None:
+            threads = int(os.environ.get(
+                "BERGEN_TPU_RESCORE_THREADS", os.cpu_count() or 1))
         out = np.empty((Q, C), np.float32)
-        lib.sparse_rescore_f32(
-            vals.ctypes.data, idx.ctypes.data, np.int32(vals.shape[1]),
-            cand.ctypes.data, np.int32(Q), np.int32(C),
-            q_dense.ctypes.data, np.int32(q_dense.shape[1]),
-            out.ctypes.data,
-        )
+        if hasattr(lib, "sparse_rescore_f32_mt"):
+            lib.sparse_rescore_f32_mt(
+                vals.ctypes.data, idx.ctypes.data, np.int32(vals.shape[1]),
+                cand.ctypes.data, np.int32(Q), np.int32(C),
+                q_dense.ctypes.data, np.int32(q_dense.shape[1]),
+                out.ctypes.data, np.int32(max(1, threads)),
+            )
+        else:
+            lib.sparse_rescore_f32(
+                vals.ctypes.data, idx.ctypes.data, np.int32(vals.shape[1]),
+                cand.ctypes.data, np.int32(Q), np.int32(C),
+                q_dense.ctypes.data, np.int32(q_dense.shape[1]),
+                out.ctypes.data,
+            )
         return out
     qg = q_dense[np.arange(Q)[:, None, None], idx[cand]]
     return np.einsum("qcj,qcj->qc", vals[cand].astype(np.float32), qg)
@@ -275,13 +295,23 @@ class SlabIndex:
 
     def search(self, q_dense: np.ndarray, k: int,
                fused: bool | None = None, rescore: int = 4,
+               pipeline_chunks: int | None = None,
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """[Q, V] dense queries → ([Q, k] scores f32, [Q, k] doc ids).
 
         ``rescore`` > 0 runs the exact stage 2: the slab GEMM nominates
         ``rescore * k`` candidates and their scores are recomputed exactly
         from the sparse corpus on the host (``rescore_exact``), erasing
-        collision + int8 error from the returned top-k.  0 = slab-only."""
+        collision + int8 error from the returned top-k.  0 = slab-only.
+
+        **Device/host pipelining**: with rescore active the query batch is
+        split into ``pipeline_chunks`` equal sub-chunks whose stage-1 GEMMs
+        are ALL dispatched up front (JAX dispatch is async; the device
+        queue runs them back-to-back) and whose host rescores run as each
+        chunk's candidates arrive — the device scores chunk j+1 while the
+        host rescores chunk j, so end-to-end cost is ~max(GEMM, rescore)
+        instead of their sum.  ``None`` = auto (4 when the batch divides
+        evenly and is big enough to amortize the extra dispatches)."""
         if fused is None:
             fused = jax.default_backend() == "tpu"
         c = min(max(k, rescore * k), self.valid_n) if rescore else k
@@ -291,26 +321,40 @@ class SlabIndex:
             # columns by g makes every f32 score identical to unwhitened —
             # only the int8 rounding pattern changes
             qs /= self.col_scale
-        if fused:
-            v, i = fused_topk.sharded_bin_topk(
-                self.mesh, jnp.asarray(qs), self.codes_dev, c,
+        Q = qs.shape[0]
+        stage1 = (fused_topk.sharded_bin_topk if fused
+                  else fused_topk.sharded_exact_topk_rows)
+        do_rescore = rescore and c > k
+        if pipeline_chunks is None:
+            pipeline_chunks = 4 if (do_rescore and Q % 4 == 0
+                                    and Q >= 512) else 1
+        n_ch = max(1, pipeline_chunks) if do_rescore else 1
+        if Q % n_ch:
+            n_ch = 1
+        step = Q // n_ch
+        handles = [
+            stage1(
+                self.mesh, jnp.asarray(qs[s:s + step]), self.codes_dev, c,
                 valid_n=self.valid_n, doc_scales=self.scales_dev,
             )
-        else:
-            v, i = fused_topk.sharded_exact_topk_rows(
-                self.mesh, jnp.asarray(qs), self.codes_dev, c,
-                valid_n=self.valid_n, doc_scales=self.scales_dev,
-            )
-        if not rescore or c == k:
+            for s in range(0, Q, step)
+        ]
+        if not do_rescore:
+            v, i = handles[0]
             return v, i
-        cand = np.asarray(i, np.int32)
-        # small/sharded corpora surface device PADDING ids (>= valid_n) in
-        # the candidate tail — clamp for the gather, sink them in the sort
-        ok = (cand >= 0) & (cand < self.valid_n)
-        s = rescore_exact(self._vals32, self._idx32,
-                          np.where(ok, cand, 0),
-                          np.asarray(q_dense, np.float32))
-        s = np.where(ok, s, -np.inf)
-        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
-        return (jnp.asarray(np.take_along_axis(s, order, axis=1)),
-                jnp.asarray(np.take_along_axis(cand, order, axis=1)))
+        q32 = np.asarray(q_dense, np.float32)
+        out_s = np.empty((Q, k), np.float32)
+        out_i = np.empty((Q, k), np.int32)
+        for j, (_, i) in enumerate(handles):
+            s0 = j * step
+            cand = np.asarray(i, np.int32)  # blocks on THIS chunk only
+            # small/sharded corpora surface device PADDING ids (>= valid_n)
+            # in the candidate tail — clamp for the gather, sink in the sort
+            ok = (cand >= 0) & (cand < self.valid_n)
+            s = rescore_exact(self._vals32, self._idx32,
+                              np.where(ok, cand, 0), q32[s0:s0 + step])
+            s = np.where(ok, s, -np.inf)
+            order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+            out_s[s0:s0 + step] = np.take_along_axis(s, order, axis=1)
+            out_i[s0:s0 + step] = np.take_along_axis(cand, order, axis=1)
+        return jnp.asarray(out_s), jnp.asarray(out_i)

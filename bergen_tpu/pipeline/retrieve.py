@@ -464,6 +464,7 @@ class Retrieve:
                             "falling back to %s", smethod, overlap,
                             self.approx_recall_guard, fb,
                         )
+                        fell_from = smethod
                         smethod = fb
                         vals, idxs = score_sparse(q_np, smethod)
                         if smethod != "exact":
@@ -475,8 +476,19 @@ class Retrieve:
                                 "overlap": overlap,
                             })
                             if overlap < self.approx_recall_guard:
+                                fell_from = smethod
                                 smethod = "exact"
                                 vals, idxs = score_sparse(q_np, smethod)
+                        if smethod == "exact":
+                            # record the TERMINAL rung too: exact IS the
+                            # reference (overlap 1.0 by construction), but
+                            # without this row the artifact reads as if the
+                            # failing approximate rung was what shipped
+                            # (round-4 run C showed only {slab, 0.62})
+                            fidelity.append({
+                                "batch": bi, "method": "exact",
+                                "overlap": 1.0, "fallback_from": fell_from,
+                            })
                         sparse_guard = smethod != "exact"
             else:
                 vals, idxs = score_batch(q_np, method)

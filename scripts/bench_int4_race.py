@@ -12,6 +12,7 @@ Usage: python scripts/bench_int4_race.py [shape,shape,...] [--out f.json]
 """
 import functools
 import json
+import os
 import sys
 import time
 
@@ -105,9 +106,11 @@ def main():
 
         row["w8a8"] = timed_chain(w8a8, x) * 1e3
 
-        for label, stk in (("unstacked", False), ("stacked", True)):
-            fn = (lambda s: lambda xc: int4_matmul.matmul_int4_packed(
-                xc, wp, sc, stacked=s))(stk)
+        forms = os.environ.get(
+            "INT4_FORMS", "3dot,stacked,duo,mono").split(",")
+        for label in forms:
+            fn = (lambda f: lambda xc: int4_matmul.matmul_int4_packed(
+                xc, wp, sc, form=f))(label)
             row[label] = timed_chain(fn, x) * 1e3
 
         results[name] = row

@@ -39,20 +39,23 @@ def _f32_ref(x, wp, scales):
     return jnp.dot(xb, w, preferred_element_type=jnp.float32)
 
 
-@pytest.mark.parametrize("stacked", [True, False])
+FORMS = ("3dot", "stacked", "duo", "mono")
+
+
+@pytest.mark.parametrize("form", FORMS)
 @pytest.mark.parametrize("M,K,N,group", [
     (4, 256, 256, 128),
     (32, 512, 384, 128),
     (3, 256, 512, 64),     # odd M, small group
     (130, 512, 256, 128),  # M crosses one block row
 ])
-def test_matches_f32_dequant(M, K, N, group, stacked):
+def test_matches_f32_dequant(M, K, N, group, form):
     rng = np.random.default_rng(0)
     wp, scales = _pack(rng, K, N, group)
     x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
     assert int4_matmul.supports(K, N, scales.shape[0])
     got = int4_matmul.matmul_int4_packed(x, wp, scales, interpret=INTERPRET,
-                                         stacked=stacked)
+                                         form=form)
     ref = _f32_ref(x, wp, scales)
     # only f32 accumulation order differs (per-group dots + identity combine)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -74,11 +77,14 @@ def test_close_to_xla_bf16_path():
                                rtol=5e-2, atol=0.35)
 
 
-def test_exact_on_integer_inputs():
+@pytest.mark.parametrize("form", FORMS)
+def test_exact_on_integer_inputs(form):
     """Integer activations x int4 weights with unit scales: every product
     and partial sum is exactly representable — the kernel must be bitwise
     equal to the mathematical result, proving the unpack (sign extension,
-    row parity, group mapping) is exact."""
+    row parity, group mapping) is exact.  For duo/mono the rebalanced
+    activation operand xe - xo/16 is exactly representable in bf16 at
+    these magnitudes, so exactness carries over."""
     rng = np.random.default_rng(1)
     K, N = 256, 256
     q = rng.integers(-7, 8, size=(K, N)).astype(np.float32)
@@ -89,7 +95,8 @@ def test_exact_on_integer_inputs():
     lo, hi = q8[0::2], q8[1::2]
     wp = jnp.asarray(((hi - (lo < 0)) << 4) | (lo & 0x0F), jnp.int8)
     x = jnp.asarray(rng.integers(-4, 5, size=(8, K)).astype(np.float32))
-    got = int4_matmul.matmul_int4_packed(x, wp, scales, interpret=INTERPRET)
+    got = int4_matmul.matmul_int4_packed(x, wp, scales, interpret=INTERPRET,
+                                         form=form)
     want = np.asarray(x, np.float64) @ np.asarray(q, np.float64)
     np.testing.assert_array_equal(np.asarray(got), want.astype(np.float32))
 

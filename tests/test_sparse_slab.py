@@ -232,6 +232,66 @@ def test_splade_slab_pipeline_with_guard(tmp_path):
     assert glob.glob(str(tmp_path / "di" / "slab_*.npz"))
 
 
+def test_sparse_guard_records_terminal_exact_rung(tmp_path):
+    """When the sparse ladder falls back to exact, the fidelity artifact
+    must record the TERMINAL rung ({method: exact, fallback_from: ...}) —
+    otherwise the artifact reads as if the failing approximate rung was
+    what shipped (round-4 run C showed only {slab, 0.62})."""
+    from bergen_tpu.pipeline.retrieve import Retrieve
+    from datasets import Dataset
+
+    V, N, Q = 512, 384, 8
+
+    class FakeSparseModel:
+        is_sparse = True
+
+        def encode_sparse(self, texts):
+            rows = [int(t.split()[-1]) for t in texts]
+            dense = np.zeros((len(rows), 16), np.float32)
+            idx = np.zeros((len(rows), 16), np.int32)
+            for j, r in enumerate(rows):
+                rr = np.random.default_rng(r)
+                idx[j] = rr.choice(V, 16, replace=False)
+                dense[j] = rr.uniform(0.1, 2.0, 16)
+            return dense.astype(np.float16), idx
+
+        def encode(self, texts, query_or_doc):
+            rows = [int(t.split()[-1]) for t in texts]
+            out = np.zeros((len(rows), V), np.float32)
+            for j, r in enumerate(rows):
+                rr = np.random.default_rng(r % N)
+                ix = rr.choice(V, 16, replace=False)
+                out[j, ix] = rr.uniform(0.1, 2.0, 16)
+            return out
+
+        def get_clean_model_name(self):
+            return "fakesplade"
+
+    docs = Dataset.from_dict({
+        "id": [f"d{i}" for i in range(N)],
+        "content": [f"doc {i}" for i in range(N)],
+    })
+    qs = Dataset.from_dict({
+        "id": [f"q{i}" for i in range(Q)],
+        "content": [f"query {i}" for i in range(Q)],
+    })
+    # an unreachable guard forces the full fallback ladder on batch 0
+    r = Retrieve(model=FakeSparseModel(), batch_size=64, batch_size_sim=8,
+                 sparse_method="slab", slab_d=640, slab_head_frac=0.8,
+                 approx_recall_guard=1.1)
+    out = r.retrieve({"query": qs, "doc": docs}, str(tmp_path / "qi"),
+                     str(tmp_path / "di"), top_k=5)
+    fid = out["fidelity"]
+    assert fid[0]["method"] == "slab"
+    term = fid[-1]
+    assert term["method"] == "exact"
+    assert term["overlap"] == 1.0
+    assert term["fallback_from"] in ("slab", "int8")
+    # exact results are the reference: self-retrieval must hold
+    for i_, row in enumerate(out["doc_id"]):
+        assert row[0] == f"d{i_}"
+
+
 def test_slab_cache_roundtrip(tmp_path, slab_data):
     q, docs, vals, idx, V = slab_data
     mesh = get_mesh()
