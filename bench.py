@@ -205,11 +205,14 @@ def bench_scoring(on_tpu):
     return Q_BATCH / dt_i8, "int8_xla"
 
 
-def bench_generate(on_tpu):
+def bench_generate(on_tpu, quant="w8a8"):
     """TinyLlama-1.1B dims, batch 32, prefill 256 + 64 new tokens; W8A8
     int8-MXU weights (the reference quantizes small models to 4-bit via
     bitsandbytes — multidomain.md:27 — so quantized-vs-quantized is the
-    like-for-like comparison)."""
+    like-for-like comparison).  ``quant="int4"`` runs the SAME end-to-end
+    generate through the packed-int4 Pallas kernel (auto form/blocks) —
+    the driver-recorded row for the reference's actual default small-model
+    mode (reference models/generators/llm.py:94-121)."""
     import jax
     import jax.numpy as jnp
 
@@ -232,7 +235,10 @@ def bench_generate(on_tpu):
     params = llama.init(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
     if on_tpu:
-        params = convert.quantize_tree_int8(params, mxu=True)
+        if quant == "int4":
+            params = convert.quantize_tree_int4(params, packed=True)
+        else:
+            params = convert.quantize_tree_int8(params, mxu=True)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, S)), jnp.int32)
     am = jnp.ones((B, S), jnp.int32)
@@ -351,8 +357,13 @@ def bench_serving(on_tpu):
         params, cfg, eos_token_id=-1, pad_token_id=0, max_slots=SLOTS,
         max_len=PMAX + int(max_news.max()) + 1, prompt_buckets=buckets,
     )
-    runner, args = server.plan_workload(prompts, list(map(int, max_news)))
-    (_, pr_d, pl_d, mn_d, gr_d, gc_d, gb_d, budget_d, key0) = args
+    # round-5: the CHUNKED drain is the shipped default (prompt chunks ride
+    # the decode forward's weight reads instead of standalone prefill
+    # branches stalling every active slot) — this is the same runner
+    # run_workload(mode="auto") dispatches to
+    runner, args = server.plan_workload_chunked(
+        prompts, list(map(int, max_news)))
+    (_, pr_d, pl_d, mn_d, ord_d, key0) = args
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained_srv(p, key, n):
@@ -361,8 +372,7 @@ def bench_serving(on_tpu):
             # the drain ignores its rng key, so an rng-only chain lets XLA
             # CSE all n drains into one
             acc, cur_pr = carry
-            out, n_out, _ = runner(p, cur_pr, pl_d, mn_d, gr_d, gc_d, gb_d,
-                                   budget_d, key)
+            out, n_out, _ = runner(p, cur_pr, pl_d, mn_d, ord_d, key)
             t = jnp.sum(out[0, :4]).astype(jnp.float32)
             return acc + t, cur_pr + (t * 1e-30).astype(jnp.int32)
         acc, _ = jax.lax.fori_loop(
@@ -403,6 +413,16 @@ def main():
     tok_per_sec = bench_generate(on_tpu)
     _emit("tinyllama_generate_tok_per_sec_b32_prefill256_new64_w8a8",
           tok_per_sec, "new tokens/sec/chip", GPU_GENERATE_TOK_PER_SEC)
+
+    try:
+        tok_int4 = bench_generate(on_tpu, quant="int4")
+        _emit("tinyllama_generate_tok_per_sec_b32_prefill256_new64_int4",
+              tok_int4, "new tokens/sec/chip", GPU_GENERATE_TOK_PER_SEC)
+    except Exception as e:  # never block the headline rows
+        import sys
+
+        print(f"# bench_generate(int4) failed: {e!r}", file=sys.stderr,
+              flush=True)
 
     try:
         srv_tok, static_tok = bench_serving(on_tpu)

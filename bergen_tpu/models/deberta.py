@@ -79,28 +79,33 @@ class DebertaConfig:
 # --------------------------------------------------------------------------- #
 
 
-def make_log_bucket_position(rel: jnp.ndarray, bucket_size: int,
-                             max_position: int) -> jnp.ndarray:
-    sign = jnp.sign(rel)
+def make_log_bucket_position(rel: np.ndarray, bucket_size: int,
+                             max_position: int) -> np.ndarray:
+    sign = np.sign(rel)
     mid = bucket_size // 2
-    abs_pos = jnp.where((rel < mid) & (rel > -mid), mid - 1, jnp.abs(rel))
+    abs_pos = np.where((rel < mid) & (rel > -mid), mid - 1, np.abs(rel))
     log_pos = (
-        jnp.ceil(
-            jnp.log(abs_pos.astype(jnp.float32) / mid)
+        np.ceil(
+            np.log(abs_pos.astype(np.float32) / mid)
             / math.log((max_position - 1) / mid)
             * (mid - 1)
         )
         + mid
     )
-    return jnp.where(abs_pos <= mid, rel, (log_pos * sign).astype(rel.dtype))
+    return np.where(abs_pos <= mid, rel, (log_pos * sign).astype(rel.dtype))
 
 
-def build_relative_position(seq_len: int, cfg: DebertaConfig) -> jnp.ndarray:
-    ids = jnp.arange(seq_len)
+def build_relative_position(seq_len: int, cfg: DebertaConfig) -> np.ndarray:
+    """[S, S] relative-position buckets — HOST numpy on purpose: seq_len is
+    static under jit, so the table (and therefore the regather's one-hot
+    selector and its USED-bucket range) are trace-time constants, which is
+    what lets ``disentangled_bias`` slice the bucket axis down to the
+    buckets a given S actually reaches (at S=256 / span=256: 283 of 512)."""
+    ids = np.arange(seq_len)
     rel = ids[:, None] - ids[None, :]
     if cfg.position_buckets > 0 and cfg.rel_max > 0:
         rel = make_log_bucket_position(rel, cfg.position_buckets, cfg.rel_max)
-    return rel.astype(jnp.int32)  # [S, S]
+    return rel.astype(np.int32)  # [S, S]
 
 
 # --------------------------------------------------------------------------- #
@@ -140,30 +145,44 @@ def disentangled_bias(layer: Params, cfg: DebertaConfig, q, k, rel_pos,
     # [B, H, S, P] -> [B, H, S, S] regather is expressed as a one-hot
     # MATMUL rather than a gather: TPU gathers of this shape measured
     # ~7% MFU on the rerank workload (and the original broadcast
-    # take_along_axis materialised a [B, H, S, S] int32 index tensor),
-    # while the equivalent per-row [B*H, P] @ [P, S] batched matmul is
-    # a fraction of a millisecond of MXU work.
-    def rowwise_regather(t, pos, P):
-        # t [B, H, S, P], pos [S, S] -> out[b,h,s,k] = t[b,h,s,pos[s,k]]
-        # precision=HIGHEST keeps the select bitwise-exact in f32: the
-        # bf16x3 decomposition reconstructs t * {0.0, 1.0} exactly
-        onehot = jax.nn.one_hot(pos, P, dtype=t.dtype)  # [S, S(k), P]
-        return jnp.einsum("bhsp,skp->bhsk", t, onehot,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+    # take_along_axis materialised a [B, H, S, S] int32 index tensor).
+    # Round-5: ``rel_pos`` is a host-numpy trace-time constant (see
+    # build_relative_position), which buys two cuts on what was the
+    # reranker's dominant cost (the round-4 HIGHEST-precision regather ran
+    # ~6 bf16 MXU passes over B*H*S*S*P MACs):
+    #   * the bucket axis is SLICED to the used range [p_lo, p_hi] — at
+    #     S=256 / span=256 that is 283 of 512 buckets;
+    #   * the f32-exact select is a hand SPLIT: t = hi + lo in bf16, two
+    #     default-precision passes against the exactly-representable 0/1
+    #     one-hot — 2 passes instead of HIGHEST's general decomposition,
+    #     exact to f32 round-off (|lo| <= 2^-8 |t|, products exact).
+    def rowwise_regather(t, pos_np):
+        # t [B, H, S, Pr] (already sliced), pos_np [S, S] np in [0, Pr)
+        onehot = jnp.asarray(
+            pos_np[:, :, None] == np.arange(t.shape[-1]),
+            jnp.bfloat16)                         # [S, S(k), Pr] exact 0/1
+        t_hi = t.astype(jnp.bfloat16)
+        t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.einsum("bhsp,skp->bhsk", t_hi, onehot,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("bhsp,skp->bhsk", t_lo, onehot,
+                             preferred_element_type=jnp.float32))
 
+    rel_np = np.asarray(rel_pos)
     bias = None
     if "c2p" in cfg.pos_att_type:
-        c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k,
+        c2p_pos = np.clip(rel_np + span, 0, 2 * span - 1)    # [S, S] static
+        p_lo, p_hi = int(c2p_pos.min()), int(c2p_pos.max())
+        c2p = jnp.einsum("bqhd,phd->bhqp", q, pos_k[p_lo:p_hi + 1],
                          preferred_element_type=jnp.float32)
-        c2p_pos = jnp.clip(rel_pos + span, 0, 2 * span - 1)  # [S, S]
-        bias = rowwise_regather(c2p, c2p_pos, 2 * span) / scale
+        bias = rowwise_regather(c2p, c2p_pos - p_lo) / scale
     if "p2c" in cfg.pos_att_type:
-        p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q,
+        p2c_pos = np.clip(-rel_np + span, 0, 2 * span - 1)
+        p_lo, p_hi = int(p2c_pos.min()), int(p2c_pos.max())
+        p2c = jnp.einsum("bkhd,phd->bhkp", k, pos_q[p_lo:p_hi + 1],
                          preferred_element_type=jnp.float32)
-        p2c_pos = jnp.clip(-rel_pos + span, 0, 2 * span - 1)
         p2c_t = jnp.swapaxes(
-            rowwise_regather(p2c, p2c_pos, 2 * span), -1, -2
+            rowwise_regather(p2c, p2c_pos - p_lo), -1, -2
         ) / scale
         bias = p2c_t if bias is None else bias + p2c_t
     return bias

@@ -435,11 +435,122 @@ def _attention(
     cursor: jnp.ndarray,     # scalar: write offset in cache
     attn_mask: jnp.ndarray,  # [B, S, L] boolean — may attend
     sliding: bool = False,   # gemma-2: this layer attends locally
+    chunk: dict | None = None,  # fused chunked prefill: see `forward`
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, S, D = x.shape
     H, KH, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+
+    if chunk is not None:
+        # Fused decode + chunked prefill (the serving drain's piggyback
+        # step): the LAST chunk["n"] batch rows are prompt-chunk tokens of
+        # ONE joining slot — they shared every projection with the decode
+        # rows above (one weight read per layer; decode is weight-HBM-bound,
+        # so the extra MXU rows are nearly free), and split off here only
+        # for the cache write + attention core.  Decode rows behave exactly
+        # as the plain path; chunk rows write their K/V CONTIGUOUSLY into
+        # cache row chunk["row"] at [chunk["pos"], chunk["pos"]+n) (one
+        # dynamic_update_slice — all behind the drain's ring cursor, where
+        # decode never writes again) and attend to that row under the
+        # caller's per-chunk-token masks (staged prefix + intra-chunk
+        # causal).  Replaces the epoch drain's batched-prefill branches,
+        # whose [A, Pb] forwards stalled every active slot's decode
+        # (reference capability: vLLM models/generators/vllm.py:48-78).
+        if S != 1 or cursor.ndim != 0:
+            raise NotImplementedError(
+                "chunked prefill fuses into S==1 scalar-cursor decode steps")
+        if sliding and cfg.sliding_window:
+            raise NotImplementedError(
+                "chunked prefill not supported on sliding-window layers")
+        Cn = chunk["n"]
+        Bc = B - Cn                               # pool rows in the cache
+        L = k_all.shape[2]
+        # decode rows: aligned write at the shared ring cursor
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[:Bc].astype(k_all.dtype)[None], (li, 0, cursor, 0, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[:Bc].astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
+        )
+        # chunk rows: contiguous region of the joining slot's row
+        kc = k[Bc:, 0][None, None]                # [1, 1, Cn, KH, Dh]
+        vc = v[Bc:, 0][None, None]
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, kc.astype(k_all.dtype), (li, chunk["row"], chunk["pos"],
+                                            0, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, vc.astype(v_all.dtype), (li, chunk["row"], chunk["pos"],
+                                            0, 0)
+        )
+        k_cache, v_cache = k_all[li], v_all[li]
+        group = H // KH
+        scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar is not None
+            else 1.0 / math.sqrt(Dh)
+        )
+
+        def _soft(scores, mask):
+            if cfg.attn_logit_softcap:
+                cap = cfg.attn_logit_softcap
+                scores = cap * jnp.tanh(scores / cap)
+            bias = jnp.where(mask[:, None, None, :, :], 0.0, -1e30)
+            return jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+
+        # decode rows: each row vs its own cache row (as the plain path)
+        qd = q[:Bc].reshape(Bc, 1, KH, group, Dh)
+        sd = jnp.einsum("bskgd,blkd->bkgsl", qd, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+        pd = _soft(sd, attn_mask[:Bc])
+        ctx_d = jnp.einsum("bkgsl,blkd->bskgd", pd, v_cache,
+                           preferred_element_type=jnp.float32)
+        # chunk rows: ALL vs the joining slot's cache row.  Two engines:
+        #
+        # * banded FLASH kernel (TPU default when the caller supplies a
+        #   "band" and the config is plain scaled softmax): online-softmax
+        #   over a [win] key window of the slot's row — the einsum
+        #   composition's [Cn, L] f32 score+probs HBM traffic measured
+        #   1.09 ms of a 5.92 ms drain step at Cn=128 (8.5 us/chunk token);
+        # * einsum fallback (CPU / softcap configs / no band): queries ride
+        #   the einsum's S axis under the caller's per-row attn_mask rows.
+        use_band = (
+            chunk.get("band") is not None
+            and not cfg.attn_logit_softcap
+            and cfg.query_pre_attn_scalar is None
+            and jax.default_backend() == "tpu"
+        )
+        if use_band:
+            from bergen_tpu.ops.flash_attention import flash_attention_band
+
+            Wn = chunk["win"]
+            k_win = jax.lax.dynamic_slice(
+                k_cache, (chunk["row"], chunk["win_start"], 0, 0),
+                (1, Wn, KH, Dh))[0]
+            v_win = jax.lax.dynamic_slice(
+                v_cache, (chunk["row"], chunk["win_start"], 0, 0),
+                (1, Wn, KH, Dh))[0]
+            ctx_c = flash_attention_band(
+                q[Bc:, 0], k_win, v_win, chunk["band"], sm_scale=scale
+            ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+        else:
+            k_row = jax.lax.dynamic_slice(
+                k_cache, (chunk["row"], 0, 0, 0), (1, L, KH, Dh))
+            v_row = jax.lax.dynamic_slice(
+                v_cache, (chunk["row"], 0, 0, 0), (1, L, KH, Dh))
+            qc = q[Bc:, 0].reshape(1, Cn, KH, group, Dh)
+            sc_ = jnp.einsum("bskgd,blkd->bkgsl", qc, k_row,
+                             preferred_element_type=jnp.float32) * scale
+            pc = _soft(sc_, attn_mask[Bc:, 0][None])
+            ctx_c = jnp.einsum(
+                "bkgsl,blkd->bskgd", pc, v_row,
+                preferred_element_type=jnp.float32
+            ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+        ctx = jnp.concatenate(
+            [ctx_d.astype(x.dtype).reshape(Bc, 1, H * Dh), ctx_c], axis=0
+        )
+        return _proj(layer["attn"]["o"], ctx), k_all, v_all
 
     if cursor.ndim == 1:
         # per-row cursors (serving slot-pool decode: each slot is at its own
@@ -587,7 +698,8 @@ def _moe(layer: Params, cfg: LlamaConfig, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _decoder_layer(layer: Params, x, k_all, v_all, positions, inv_freq,
-                   cursor, attn_mask, *, cfg: LlamaConfig, li: int):
+                   cursor, attn_mask, *, cfg: LlamaConfig, li: int,
+                   chunk: dict | None = None):
     """One decoder layer (slot-pool cache path) — extracted so training can
     wrap it in ``jax.checkpoint``: the backward pass then recomputes the
     layer's activations instead of keeping attention probs + FFN hiddens
@@ -597,7 +709,7 @@ def _decoder_layer(layer: Params, x, k_all, v_all, positions, inv_freq,
     h = _norm(layer["attn_norm"], x, cfg)
     a, k_all, v_all = _attention(
         layer, cfg, h, positions, inv_freq, k_all, v_all, li, cursor,
-        attn_mask, sliding=cfg.post_norms and li % 2 == 0,
+        attn_mask, sliding=cfg.post_norms and li % 2 == 0, chunk=chunk,
     )
     if cfg.parallel_block:
         return x + a + _mlp(layer, h, cfg.hidden_act), k_all, v_all
@@ -624,6 +736,11 @@ def forward(
     remat: bool = False,  # checkpoint each layer (training memory saver)
     paged_use_pallas: bool | None = None,  # paged cache only: None auto,
     # False = XLA composition (tensor-parallel serving)
+    chunk: dict | None = None,  # fused chunked prefill (serving drain):
+    # {"row": scalar cache row, "pos": scalar cache offset, "n": static int}
+    # — the last n batch rows are prompt-chunk tokens of one joining slot;
+    # they share every projection/MLP with the decode rows and split off
+    # only inside _attention (cache write + attention core)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One forward step (prefill: S=prompt_len; decode: S=1) writing K/V at
     cache cursor. Returns (logits [B, S, V] f32, updated cache) — plus a
@@ -639,6 +756,8 @@ def forward(
     if cfg.embed_scale:
         x = x * jnp.asarray(math.sqrt(cfg.hidden_size), x.dtype)
     paged = "k_pool" in cache
+    if chunk is not None and paged:
+        raise NotImplementedError("chunked prefill needs the slot-pool cache")
     if paged:
         # paged decode (init_paged_cache): one token per slot, attn_mask is
         # ignored — masking derives from per-slot lengths.  Families whose
@@ -673,7 +792,8 @@ def forward(
     if remat and not (paged or collect_stats):
         for li, layer in enumerate(params["layers"]):
             step = jax.checkpoint(
-                functools.partial(_decoder_layer, cfg=cfg, li=li))
+                functools.partial(_decoder_layer, cfg=cfg, li=li,
+                                  chunk=chunk))
             x, k_all, v_all = step(layer, x, k_all, v_all, positions,
                                    inv_freq, cursor, attn_mask)
     else:
@@ -694,7 +814,7 @@ def forward(
                     cursor, attn_mask,
                     # gemma-2 interleaves local/global attention: even layers
                     # sliding
-                    sliding=cfg.post_norms and li % 2 == 0,
+                    sliding=cfg.post_norms and li % 2 == 0, chunk=chunk,
                 )
             if cfg.parallel_block:
                 # cohere: attention and MLP both read the same normed input,
@@ -716,6 +836,17 @@ def forward(
             x = x + m
 
     x = _norm(params["final_norm"], x, cfg)
+    if chunk is not None and "last" in chunk:
+        # fused chunked prefill: only the decode rows and the chunk's LAST
+        # valid token need logits (the chunk's other rows exist to stage
+        # K/V) — slice before the LM head so its matmul and the [*, V] f32
+        # logits buffer don't pay for chunk["n"] rows every step.  Returns
+        # [Bc + 1, S, V]: callers read the staged request's first token at
+        # row Bc.
+        Bc = x.shape[0] - chunk["n"]
+        xl = jax.lax.dynamic_slice(
+            x, (Bc + chunk["last"], 0, 0), (1, x.shape[1], x.shape[2]))
+        x = jnp.concatenate([x[:Bc], xl], axis=0)
     head = params.get("lm_head")
     if head is None:  # tied embeddings
         logits = jnp.dot(

@@ -217,6 +217,62 @@ def _kernel_mono(x2_ref, wp_ref, s_ref, out_ref, *, groups_per_blk,
     out_ref[:] += acc
 
 
+def _valid_kb(K: int, group: int, cap: int) -> int:
+    """Largest k-block <= cap dividing K that satisfies the kernel's lane
+    rule (KB == K, or the packed half-block 128-aligned)."""
+    best = 0
+    unit = max(group, 2)
+    b = unit
+    while b <= min(K, cap):
+        if K % b == 0 and (b == K or (b // 2) % 128 == 0):
+            best = b
+        b += unit
+    return best
+
+
+def _auto_nb(N: int, KBh: int, budget: int = 8 << 20, per: int = 5) -> int:
+    """Largest n-block dividing N (multiple of 128) whose in-kernel VMEM
+    footprint — packed bytes + two unpacked bf16 planes, ~5 bytes per
+    packed element — stays under ``budget``."""
+    best = 0
+    b = 128
+    while b <= N:
+        if N % b == 0 and per * KBh * b <= budget:
+            best = b
+        b += 128
+    return best
+
+
+def _auto_config(K: int, N: int, group: int):
+    """(form, block_n, block_k) per projection shape, encoding the on-chip
+    block tune (documentation/evidence/int4_block_tune*.json, TPU v5e,
+    decode M=32).  The round-4 default (3dot @ 512x512) paid ~3x its time
+    in grid-step overhead on large-N shapes (the TinyLlama head ran 500
+    grid steps at 18% of its HBM roofline); deep-K / wide-N blocks under
+    an ~8 MB VMEM temp budget recover it:
+
+    * tiny N (kv projections): the smallest geometry wins — ``mono``
+      @ 512x512 (one full-depth dot per group, one grid step);
+    * huge N (lm_head): wide-N narrow-K — ``duo`` @ e.g. 6400x512
+      measured 0.0686 ms vs 0.2253 for the round-4 form (w8a8: 0.0884);
+    * everything else: ``duo`` with the deepest aligned k-block <= 3072
+      and the widest budget-fitting n-block (gate 0.0147 vs 0.0243,
+      q 0.0071 vs 0.0132 — q now beats w8a8's 0.0090)."""
+    if N <= 512:
+        return "mono", 512, 512
+    if N >= 16384:
+        kb = _valid_kb(K, group, 512)
+        if kb:
+            nb = _auto_nb(N, kb // 2)
+            if nb >= 1024:
+                return "duo", nb, kb
+    kb = _valid_kb(K, group, 3072)
+    nb = _auto_nb(N, kb // 2) if kb else 0
+    if kb == 0 or nb == 0:
+        return "duo", 512, 512
+    return "duo", nb, kb
+
+
 def supports(K: int, N: int, n_groups: int, block_n: int = 512,
              block_k: int = 512) -> bool:
     """Static shape envelope of the kernel (callers fall back to the XLA
@@ -257,14 +313,14 @@ def matmul_int4_packed(
     ``form`` selects the kernel body (all four compute the same algebra;
     parity is tested for each):
 
+    * ``"auto"`` (the default) — pick form AND block sizes per shape from
+      the on-chip block tune (``_auto_config``); overrides block_n/block_k.
     * ``"3dot"``  — round-4 shipped form: 3 dots of [M, group/2] per group.
     * ``"stacked"`` — 2 dots per group, one carrying [2M] rows.
     * ``"duo"``   — 2 dots of [M, group/2] per group via the rebalanced
       identity (the disentangling rides the activation operand).
     * ``"mono"``  — 1 dot of [M, group] per group (operands concatenated
-      along K) — the round-5 default on chip: fewest MXU dispatches and
-      full-depth dots (measured fastest at every decode projection shape,
-      see documentation/performance.md round-5 decode table).
+      along K): fewest MXU dispatches, at full ``group`` dot depth.
 
     ``stacked=True`` is the legacy spelling of ``form="stacked"``."""
     M, K = x.shape
@@ -273,6 +329,10 @@ def matmul_int4_packed(
     if K2 * 2 != K:
         raise ValueError(f"packed rows {K2} != K/2 (K={K})")
     group = K // n_groups
+    if form is None:
+        form = "stacked" if stacked else "auto"
+    if form == "auto":
+        form, block_n, block_k = _auto_config(K, N, group)
     KB = _choose_block(K, max(group, 2), block_k)
     NB = _choose_block(N, 128, block_n)
     if KB < group or NB == 0:
@@ -313,8 +373,6 @@ def matmul_int4_packed(
         s3 = jnp.pad(s3, ((0, 0), (0, GBp - GB), (0, 0)))
     s_pad = s3.reshape(nkb * GBp, N)
 
-    if form is None:
-        form = "stacked" if stacked else "3dot"
     if form == "mono" and not (KB == K or KB % 128 == 0):
         form = "duo"  # mono's x2 lane dim is KB; fall back when unaligned
 

@@ -581,6 +581,233 @@ class GenerationServer:
 
         return jax.jit(run)
 
+    @functools.lru_cache(maxsize=None)
+    def _workload_runner_chunked(self, R: int, Pmax: int, max_new: int,
+                                 Lc: int, KEEP: int, CHUNK: int):
+        """Chunked-prefill drain: prompts no longer prefill as standalone
+        [A, Pb] forwards that stall every active slot (the epoch runner's
+        admission branches) — each step's forward carries the S+1 decode
+        rows PLUS the next CHUNK prompt tokens of ONE joining request as
+        extra batch rows (``llama.forward(..., chunk=...)``).  The chunk
+        rows share every weight read with the decode rows, so on a
+        weight-HBM-bound decode their marginal cost is the chunk's
+        attention core — prefill becomes nearly free and mixed-load
+        throughput approaches the uniform-decode ceiling (the round-4 gap:
+        4,830 mixed vs 8,391 uniform, driver-measured).
+
+        Placement invariant: a request admitted when the ring cursor is at
+        ``g`` stages its prompt K/V into its slot's row at
+        ``[g - plen, g)`` — entirely BEHIND the cursor, where the aligned
+        decode write (always at ``g``) never stomps it.  Staging advances
+        one chunk per step; the live window span is bounded by
+        ``plen + ceil(plen/CHUNK) + gen <= KEEP``, so the ring shift
+        (unchanged, once per epoch) preserves in-flight stagings.
+
+        Admission needs NO lax.cond over the caches (the epoch runner's
+        whole reason for its branch table): staging start/finish are pure
+        scalar/mask updates inside the ONE fused step.
+        """
+        cfg_, S = self.cfg, self.S
+        eos, pad = self.eos, self.pad
+        temp_, top_p_ = self.temperature, self.top_p
+        dtype = self.dtype
+        NL, KH, DH = cfg_.num_layers, cfg_.num_kv_heads, cfg_.head_dim
+        pool = S + 1
+        # key window for the banded flash chunk attention: covers any
+        # staging's prefix + current chunk ([pf_base, pf_base+plen+CHUNK))
+        WIN = min(Lc, -(-(Pmax + CHUNK) // 128) * 128)
+
+        kv_sharding = self._kv_sharding
+
+        def _constrain(x):
+            if kv_sharding is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, kv_sharding)
+
+        def shift(st):
+            # identical ring compaction to the epoch runner, plus the
+            # staging base pointer rides the window
+            st = dict(st)
+            g = st["g"]
+            s0 = jnp.maximum(g - KEEP, 0)
+            kwin = jax.lax.dynamic_slice(
+                st["k"], (0, 0, s0, 0, 0), (NL, pool, KEEP, KH, DH)
+            )
+            vwin = jax.lax.dynamic_slice(
+                st["v"], (0, 0, s0, 0, 0), (NL, pool, KEEP, KH, DH)
+            )
+            st["k"] = jax.lax.dynamic_update_slice(
+                st["k"], kwin, (0, 0, 0, 0, 0))
+            st["v"] = jax.lax.dynamic_update_slice(
+                st["v"], vwin, (0, 0, 0, 0, 0))
+            valw = jax.lax.dynamic_slice(st["valid"], (0, s0), (pool, KEEP))
+            st["valid"] = jnp.zeros_like(st["valid"]).at[:, :KEEP].set(valw)
+            st["g"] = g - s0
+            st["pf_base"] = st["pf_base"] - s0
+            return st
+
+        def run(params, prompts, plens, max_news, order, rng):
+            st = {
+                "k": _constrain(jnp.zeros((NL, pool, Lc, KH, DH), dtype)),
+                "v": _constrain(jnp.zeros((NL, pool, Lc, KH, DH), dtype)),
+                "g": jnp.int32(Pmax),
+                "valid": jnp.zeros((pool, Lc), bool),
+                "tok_pos": jnp.zeros((pool,), jnp.int32),
+                "cur_tok": jnp.full((pool,), pad, jnp.int32),
+                "active": jnp.zeros((pool,), bool),
+                "slot_req": jnp.zeros((pool,), jnp.int32),
+                "out": jnp.full((R, max_new), pad, jnp.int32),
+                "n_out": jnp.zeros((R,), jnp.int32),
+                "pf_active": jnp.asarray(False),
+                "pf_req": jnp.int32(0),
+                "pf_slot": jnp.int32(S),
+                "pf_base": jnp.int32(0),
+                "pf_done": jnp.int32(0),
+                "next_req": jnp.int32(0),
+                "it": jnp.int32(0),
+                "rng": rng,
+            }
+            pidx = jnp.arange(Lc)
+
+            def work_left(st):
+                return (jnp.any(st["active"]) | st["pf_active"]
+                        | (st["next_req"] < R))
+
+            def body(st):
+                st = dict(st)
+                rng, k_dec, k_pf = jax.random.split(st["rng"], 3)
+                st["rng"] = rng
+                st["it"] = st["it"] + 1
+                g = st["g"]
+                # ---- staging start: scalars + one valid-row clear; no
+                # lax.cond touches the caches
+                occ = st["active"].at[S].set(True)
+                occ = occ | ((jnp.arange(pool) == st["pf_slot"])
+                             & st["pf_active"])
+                start = ((~st["pf_active"]) & (st["next_req"] < R)
+                         & jnp.any(~occ[:S]))
+                slot = jnp.argmin(occ[:S].astype(jnp.int32))
+                req = order[jnp.minimum(st["next_req"], R - 1)]
+                plen_s = plens[req]
+                st["pf_slot"] = jnp.where(start, slot, st["pf_slot"])
+                st["pf_req"] = jnp.where(start, req, st["pf_req"])
+                st["pf_base"] = jnp.where(start, g - plen_s, st["pf_base"])
+                st["pf_done"] = jnp.where(start, 0, st["pf_done"])
+                st["pf_active"] = st["pf_active"] | start
+                rowsel = jnp.arange(pool) == st["pf_slot"]
+                st["valid"] = jnp.where(
+                    rowsel[:, None] & start, False, st["valid"])
+                # ---- chunk operands for the fused forward
+                act = st["pf_active"]
+                crow = jnp.where(act, st["pf_slot"], jnp.int32(S))
+                req_c = jnp.minimum(st["pf_req"], R - 1)
+                plen_c = plens[req_c]
+                off = st["pf_done"]
+                n_valid = jnp.where(
+                    act, jnp.minimum(plen_c - off, CHUNK), 0)
+                chunk_ids = jax.lax.dynamic_slice(
+                    prompts[req_c], (off,), (CHUNK,))
+                chunk_pos = off + jnp.arange(CHUNK, dtype=jnp.int32)
+                ci = jnp.arange(CHUNK)
+                ci_c = jnp.minimum(ci, jnp.maximum(n_valid - 1, 0))
+                cmask = ((pidx[None, :] >= st["pf_base"])
+                         & (pidx[None, :]
+                            < st["pf_base"] + off + ci_c[:, None] + 1)
+                         & act)
+                cpos = jnp.clip(st["pf_base"] + off, 0, Lc - CHUNK)
+                # banded flash chunk attention: key window [s0, s0+WIN) of
+                # the joining slot's row; per-chunk-token key bands are
+                # window-relative [delta, delta + off + ci + 1)
+                s0 = jnp.clip(st["pf_base"], 0, Lc - WIN)
+                delta = st["pf_base"] - s0
+                band = jnp.stack(
+                    [jnp.full((CHUNK,), delta, jnp.int32),
+                     jnp.where(act, delta + off + ci_c + 1, 0)
+                     .astype(jnp.int32)], axis=1)
+                # ---- ONE fused forward: decode rows + chunk rows
+                cache = {"k": st["k"], "v": st["v"], "cursor": g}
+                dec_valid = st["valid"].at[:, g].set(True)
+                ids = jnp.concatenate([st["cur_tok"], chunk_ids])[:, None]
+                pos = jnp.concatenate([st["tok_pos"], chunk_pos])[:, None]
+                mask = jnp.concatenate(
+                    [dec_valid[:, None, :], cmask[:, None, :]], axis=0)
+                logits, cache = llama.forward(
+                    params, cfg_, ids, pos, cache, mask,
+                    chunk={"row": crow, "pos": cpos, "n": CHUNK,
+                           "last": jnp.maximum(n_valid - 1, 0),
+                           "band": band, "win_start": s0, "win": WIN},
+                )
+                st["k"], st["v"] = cache["k"], cache["v"]
+                # ---- decode bookkeeping (identical to the epoch runner)
+                last = logits[:pool, 0]
+                if temp_ > 0:
+                    nxt = llama.sample_token(last, k_dec, temp_, top_p_)
+                else:
+                    nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                st["valid"] = st["valid"].at[:, g].set(st["active"])
+                st["g"] = g + 1
+                reqs = st["slot_req"]
+                wpos = jnp.where(st["active"], st["n_out"][reqs], max_new)
+                st["out"] = st["out"].at[reqs, wpos].set(nxt, mode="drop")
+                st["n_out"] = st["n_out"].at[reqs].add(
+                    st["active"].astype(jnp.int32))
+                st["tok_pos"] = st["tok_pos"] + st["active"].astype(jnp.int32)
+                st["cur_tok"] = jnp.where(st["active"], nxt, st["cur_tok"])
+                finished = st["active"] & (
+                    (nxt == eos) | (st["n_out"][reqs] >= max_news[reqs])
+                )
+                st["active"] = st["active"] & ~finished
+                # ---- staging progress + completion
+                new_done = off + n_valid
+                fin = act & (new_done >= plen_c)
+                st["pf_done"] = jnp.where(act, new_done, st["pf_done"])
+                # forward sliced the head to [pool + 1] rows: row `pool`
+                # IS the chunk's last valid token (chunk["last"])
+                clast = logits[pool:pool + 1, 0]
+                if temp_ > 0:
+                    ftok = llama.sample_token(clast, k_pf, temp_, top_p_)[0]
+                else:
+                    ftok = jnp.argmax(clast[0], axis=-1).astype(jnp.int32)
+                region = ((pidx >= st["pf_base"])
+                          & (pidx < st["pf_base"] + plen_c))
+                rsel = jnp.arange(pool) == crow
+                st["valid"] = jnp.where(
+                    rsel[:, None] & region[None, :] & fin, True, st["valid"])
+                done1 = (ftok == eos) | (max_news[req_c] <= 1)
+                st["active"] = jnp.where(rsel & fin, ~done1, st["active"])
+                st["tok_pos"] = jnp.where(rsel & fin, plen_c, st["tok_pos"])
+                st["cur_tok"] = jnp.where(rsel & fin, ftok, st["cur_tok"])
+                st["slot_req"] = jnp.where(rsel & fin, req_c, st["slot_req"])
+                oi = jnp.where(fin, req_c, R)
+                st["out"] = st["out"].at[oi, 0].set(ftok, mode="drop")
+                st["n_out"] = st["n_out"].at[oi].set(1, mode="drop")
+                st["pf_active"] = act & ~fin
+                st["next_req"] = st["next_req"] + fin.astype(jnp.int32)
+                return st
+
+            def inner_cond(st):
+                return (work_left(st) & (st["it"] < st["limit"])
+                        & (st["g"] < Lc - 1 - CHUNK))
+
+            def outer_cond(st):
+                return work_left(st) & (st["it"] < st["limit"])
+
+            def outer_body(st):
+                st = shift(st)
+                return jax.lax.while_loop(inner_cond, body, st)
+
+            # iteration backstop (normal termination is all-requests-done)
+            n_chunks = -(-Pmax // CHUNK)
+            tot = jnp.sum(max_news)
+            epoch_len = max(1, Lc - 1 - CHUNK - KEEP)
+            hard = (tot + R * (n_chunks + 1) + max_new
+                    + (tot + R * n_chunks) // epoch_len + 128)
+            st["limit"] = hard.astype(jnp.int32)
+            st = jax.lax.while_loop(outer_cond, outer_body, st)
+            return st["out"], st["n_out"], st["it"]
+
+        return jax.jit(run)
+
     def plan_workload(self, prompt_ids_list: List[List[int]],
                       max_new_tokens: int | List[int] = 64,
                       admit_width: int = 8, ring: bool = True,
@@ -674,13 +901,64 @@ class GenerationServer:
         )
         return runner, args
 
+    def plan_workload_chunked(self, prompt_ids_list: List[List[int]],
+                              max_new_tokens: int | List[int] = 64,
+                              chunk_size: int = 128):
+        """Host-side schedule for the chunked-prefill drain: pad prompts
+        (with ``chunk_size`` of slack so the per-step chunk slice never
+        clamps), order requests longest-generation-budget-first, and size
+        the ring so a full live window — prompt + staging steps + budget —
+        plus the chunk-write slack fits.  Returns ``(runner, args)``."""
+        R = len(prompt_ids_list)
+        CHUNK = int(chunk_size)
+        if isinstance(max_new_tokens, int):
+            max_news = np.full(R, max_new_tokens, np.int32)
+        else:
+            max_news = np.asarray(max_new_tokens, np.int32)
+        Pmax = max(max(len(p) for p in prompt_ids_list), 1)
+        prompts = np.full((R, Pmax + CHUNK), self.pad, np.int32)
+        plens = np.zeros(R, np.int32)
+        for r, ids in enumerate(prompt_ids_list):
+            ids = np.asarray(ids, np.int32)[-Pmax:]
+            prompts[r, : len(ids)] = ids
+            plens[r] = max(len(ids), 1)
+        order = np.argsort(-max_news, kind="stable").astype(np.int32)
+        n_chunks = -(-Pmax // CHUNK)
+        KEEP = Pmax + int(max_news.max()) + n_chunks + 8
+        # epoch length (steps between ring compactions) >= 48
+        Lc = ((KEEP + CHUNK + 49 + 127) // 128) * 128
+        runner = self._workload_runner_chunked(
+            R, Pmax, int(max_news.max()), Lc, KEEP, CHUNK)
+        args = (
+            self.params, jnp.asarray(prompts), jnp.asarray(plens),
+            jnp.asarray(max_news), jnp.asarray(order), self._next_key(),
+        )
+        return runner, args
+
     def run_workload(self, prompt_ids_list: List[List[int]],
-                     max_new_tokens: int | List[int] = 64) -> List[List[int]]:
+                     max_new_tokens: int | List[int] = 64,
+                     mode: str = "auto",
+                     chunk_size: int = 128) -> List[List[int]]:
         """Drain a whole mixed-length workload in one device program.
         ``max_new_tokens`` may vary per request (slots free at each
         request's own limit — the continuous-batching win).  Returns
-        generated token lists in submission order."""
-        runner, args = self.plan_workload(prompt_ids_list, max_new_tokens)
+        generated token lists in submission order.
+
+        ``mode``: ``"chunked"`` fuses prompt prefill into the decode steps
+        (chunk rows ride the decode forward's weight reads — the
+        high-throughput default); ``"epoch"`` is the batched-admission
+        branch drain (required for gemma-2 sliding-window layers, whose
+        slot-distance masks the fused chunk path does not implement);
+        ``"auto"`` picks per model family."""
+        if mode == "auto":
+            sliding = bool(self.cfg.post_norms and self.cfg.sliding_window)
+            mode = "epoch" if sliding else "chunked"
+        if mode == "chunked":
+            runner, args = self.plan_workload_chunked(
+                prompt_ids_list, max_new_tokens, chunk_size=chunk_size)
+        else:
+            runner, args = self.plan_workload(prompt_ids_list,
+                                              max_new_tokens)
         out, n_out, _ = runner(*args)
         out, n_out = np.asarray(out), np.asarray(n_out)
         return [list(out[r, : n_out[r]]) for r in range(len(prompt_ids_list))]

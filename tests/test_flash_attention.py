@@ -91,3 +91,38 @@ def test_batched_gqa_with_padding():
                                 v[b, :, h // group])
             np.testing.assert_allclose(out[b, :, h], ref, atol=3e-5, rtol=1e-4,
                                        err_msg=f"b={b} h={h}")
+
+
+def test_flash_attention_band_matches_masked_einsum():
+    """The banded kernel (per-query dynamic key bounds — the serving
+    drain's chunked prefill) must match a masked-softmax einsum, including
+    GQA head grouping, ragged bands, and empty bands (zero rows)."""
+    import numpy as np
+
+    from bergen_tpu.ops.flash_attention import flash_attention_band
+
+    rng = np.random.default_rng(3)
+    Sq, Sk, H, KH, d = 24, 96, 8, 4, 16
+    q = jnp.asarray(rng.normal(size=(Sq, H, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(Sk, KH, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(Sk, KH, d)).astype(np.float32))
+    lo = rng.integers(0, 20, Sq)
+    hi = lo + rng.integers(0, 60, Sq)  # some rows empty (hi == lo)
+    hi[3] = lo[3]                       # force an empty band
+    band = jnp.asarray(np.stack([lo, hi], 1).astype(np.int32))
+
+    got = flash_attention_band(q, k, v, band, interpret=True)
+
+    group = H // KH
+    kr = jnp.repeat(k, group, axis=1)   # [Sk, H, d]
+    vr = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("qhd,khd->hqk", q, kr) / np.sqrt(d)
+    pos = np.arange(Sk)
+    m = (pos[None, :] >= lo[:, None]) & (pos[None, :] < hi[:, None])
+    s = jnp.where(jnp.asarray(m)[None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("hqk,khd->qhd", p, vr)
+    ref = jnp.where(jnp.asarray(hi > lo)[:, None, None], ref, 0.0)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)

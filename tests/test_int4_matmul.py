@@ -39,7 +39,7 @@ def _f32_ref(x, wp, scales):
     return jnp.dot(xb, w, preferred_element_type=jnp.float32)
 
 
-FORMS = ("3dot", "stacked", "duo", "mono")
+FORMS = ("3dot", "stacked", "duo", "mono", "auto")
 
 
 @pytest.mark.parametrize("form", FORMS)

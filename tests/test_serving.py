@@ -238,3 +238,31 @@ def test_generator_serve_sampling_no_bypass(tmp_path):
                         "tell me about trains"])
     assert calls["n"] == 1
     assert len(out) == 2
+
+
+def test_chunked_drain_matches_epoch_and_reference(cfg_params):
+    """The chunked-prefill drain (prompt chunks ride the decode forward as
+    extra batch rows) must emit EXACTLY the epoch drain's greedy tokens and
+    the static reference's — per-request budgets, prompts spanning multiple
+    chunks, slot churn through a 2-slot pool."""
+    cfg, params = cfg_params
+    rng = np.random.default_rng(23)
+    lens = (5, 13, 37, 21, 4, 29, 9, 18)
+    prompts = [list(rng.integers(3, 96, size=n)) for n in lens]
+    max_new = [6, 12, 3, 9, 15, 5, 8, 11]
+
+    def run(mode, chunk):
+        srv = GenerationServer(params, cfg, EOS, PAD, max_slots=2,
+                               max_len=64, prompt_buckets=(8, 16, 32, 64))
+        return srv.run_workload(prompts, max_new, mode=mode,
+                                chunk_size=chunk)
+
+    epoch = run("epoch", 16)
+    for chunk in (16, 64):  # multi-chunk AND single-chunk staging
+        got = run("chunked", chunk)
+        for i in range(len(prompts)):
+            assert [int(t) for t in got[i]] == [int(t) for t in epoch[i]], (
+                f"chunk={chunk} req {i}")
+    ref = batch_reference(cfg, params, prompts, max(max_new))
+    for i, (r, m) in enumerate(zip(ref, max_new)):
+        assert [int(t) for t in epoch[i]] == [int(t) for t in r][:m], i
