@@ -506,20 +506,38 @@ def _attention(
         pd = _soft(sd, attn_mask[:Bc])
         ctx_d = jnp.einsum("bkgsl,blkd->bskgd", pd, v_cache,
                            preferred_element_type=jnp.float32)
-        # chunk rows: ALL vs the joining slot's cache row.  Two engines:
+        # chunk rows: ALL vs the joining slot's cache row.  Three engines:
         #
-        # * banded FLASH kernel (TPU default when the caller supplies a
-        #   "band" and the config is plain scaled softmax): online-softmax
-        #   over a [win] key window of the slot's row — the einsum
-        #   composition's [Cn, L] f32 score+probs HBM traffic measured
-        #   1.09 ms of a 5.92 ms drain step at Cn=128 (8.5 us/chunk token);
-        # * einsum fallback (CPU / softcap configs / no band): queries ride
-        #   the einsum's S axis under the caller's per-row attn_mask rows.
+        # * GROWN-WINDOW einsum (default when the caller supplies the
+        #   staging offset "off"): a lax.switch over ceil((off+Cn)/128)
+        #   picks the smallest 128-multiple key window covering the staged
+        #   prefix + this chunk, sliced at the staging base.  The chunk's
+        #   f32 score/prob HBM traffic scales with the ACTUAL prefix length
+        #   instead of the static Pmax+Cn window (first chunk: 128 keys,
+        #   not 640) — on-chip the static-window einsum's traffic measured
+        #   1.9 ms of chunk-step cost at Cn=128, and the banded flash
+        #   kernel built to replace it measured 1.9 ms SLOWER still
+        #   (per-dispatch overhead x 22 layers: 7.93 vs 6.06 vs 4.14 ms
+        #   plain-decode baseline).  All branch outputs are [Cn, H*Dh], so
+        #   the switch never touches the cache carry (no copy hazard).
+        # * banded flash kernel (opt-in via BERGEN_TPU_CHUNK_BAND=1): kept
+        #   for A/B only — measured a net loss, see above.
+        # * einsum fallback (CPU / softcap configs): queries ride the
+        #   einsum's S axis under the caller's per-row attn_mask rows.
+        import os as _os
+
         use_band = (
             chunk.get("band") is not None
             and not cfg.attn_logit_softcap
             and cfg.query_pre_attn_scalar is None
             and jax.default_backend() == "tpu"
+            and _os.environ.get("BERGEN_TPU_CHUNK_BAND") == "1"
+        )
+        use_grown = (
+            not use_band
+            and chunk.get("off") is not None
+            and not cfg.attn_logit_softcap
+            and cfg.query_pre_attn_scalar is None
         )
         if use_band:
             from bergen_tpu.ops.flash_attention import flash_attention_band
@@ -534,6 +552,53 @@ def _attention(
             ctx_c = flash_attention_band(
                 q[Bc:, 0], k_win, v_win, chunk["band"], sm_scale=scale
             ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+        elif use_grown:
+            WBLK = 128
+            Wn = chunk["win"]               # static max window (128-mult)
+            nb = max(1, Wn // WBLK)
+            pf = chunk["win_start"]          # staging base (dynamic)
+            off = chunk["off"]               # tokens already staged
+            nv = chunk.get("nv", jnp.int32(Cn))
+            ci = jnp.arange(Cn)
+            # per-row visible-key count relative to the staging base; rows
+            # past nv clamp to the last valid row's bound (garbage rows —
+            # outputs unused, but hi >= 1 keeps the softmax finite)
+            hi_rel = off + jnp.minimum(ci, jnp.maximum(nv - 1, 0)) + 1
+            qc = q[Bc:, 0].reshape(1, Cn, KH, group, Dh)
+            # window start aligns DOWN to the 128-block holding the staging
+            # base, so the in-window offset d0 < WBLK is known when picking
+            # the branch.  If a branch must clamp (s0a > L - w), the extra
+            # shift still fits because pf + off + Cn <= L - 1 implies
+            # d + off + Cn <= w - 1 at s0 = L - w.
+            d0 = pf % WBLK
+            s0a = pf - d0
+            idx = jnp.clip((d0 + off + Cn + WBLK - 1) // WBLK - 1, 0, nb - 1)
+
+            def _mk(j):
+                w = (j + 1) * WBLK
+
+                def br(_):
+                    s0 = jnp.clip(jnp.minimum(s0a, L - w), 0, None)
+                    d = pf - s0
+                    kw = jax.lax.dynamic_slice(
+                        k_cache, (chunk["row"], s0, 0, 0), (1, w, KH, Dh))
+                    vw = jax.lax.dynamic_slice(
+                        v_cache, (chunk["row"], s0, 0, 0), (1, w, KH, Dh))
+                    jj = jnp.arange(w)
+                    m = ((jj[None, :] >= d)
+                         & (jj[None, :] < d + hi_rel[:, None]))[None]
+                    sc = jnp.einsum(
+                        "bskgd,blkd->bkgsl", qc, kw,
+                        preferred_element_type=jnp.float32) * scale
+                    p = _soft(sc, m)
+                    return jnp.einsum(
+                        "bkgsl,blkd->bskgd", p, vw,
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+
+                return br
+
+            ctx_c = jax.lax.switch(idx, [_mk(j) for j in range(nb)], None)
         else:
             k_row = jax.lax.dynamic_slice(
                 k_cache, (chunk["row"], 0, 0, 0), (1, L, KH, Dh))

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from functools import partial
 from typing import Dict, List
 
@@ -615,7 +616,10 @@ class GenerationServer:
         pool = S + 1
         # key window for the banded flash chunk attention: covers any
         # staging's prefix + current chunk ([pf_base, pf_base+plen+CHUNK))
-        WIN = min(Lc, -(-(Pmax + CHUNK) // 128) * 128)
+        # +128: the grown-window chunk attention aligns its window start
+        # DOWN to a 128-block, so the worst case needs one extra block of
+        # headroom beyond the staged prefix + chunk span
+        WIN = min(Lc, -(-(Pmax + CHUNK) // 128) * 128 + 128)
 
         kv_sharding = self._kv_sharding
 
@@ -715,15 +719,20 @@ class GenerationServer:
                             < st["pf_base"] + off + ci_c[:, None] + 1)
                          & act)
                 cpos = jnp.clip(st["pf_base"] + off, 0, Lc - CHUNK)
-                # banded flash chunk attention: key window [s0, s0+WIN) of
-                # the joining slot's row; per-chunk-token key bands are
-                # window-relative [delta, delta + off + ci + 1)
+                # grown-window chunk attention (llama._attention's default
+                # engine): needs only the staging base + progress scalars;
+                # the lax.switch there sizes the key window to the staged
+                # prefix.  The banded flash kernel (opt-in A/B via
+                # BERGEN_TPU_CHUNK_BAND=1) additionally needs the clipped
+                # window start and per-row window-relative bands.
                 s0 = jnp.clip(st["pf_base"], 0, Lc - WIN)
                 delta = st["pf_base"] - s0
                 band = jnp.stack(
                     [jnp.full((CHUNK,), delta, jnp.int32),
                      jnp.where(act, delta + off + ci_c + 1, 0)
                      .astype(jnp.int32)], axis=1)
+                use_band_kernel = os.environ.get(
+                    "BERGEN_TPU_CHUNK_BAND") == "1"
                 # ---- ONE fused forward: decode rows + chunk rows
                 cache = {"k": st["k"], "v": st["v"], "cursor": g}
                 dec_valid = st["valid"].at[:, g].set(True)
@@ -731,12 +740,14 @@ class GenerationServer:
                 pos = jnp.concatenate([st["tok_pos"], chunk_pos])[:, None]
                 mask = jnp.concatenate(
                     [dec_valid[:, None, :], cmask[:, None, :]], axis=0)
+                ch = {"row": crow, "pos": cpos, "n": CHUNK,
+                      "last": jnp.maximum(n_valid - 1, 0),
+                      "off": off, "nv": n_valid,
+                      "win_start": st["pf_base"], "win": WIN}
+                if use_band_kernel:
+                    ch["band"], ch["win_start"] = band, s0
                 logits, cache = llama.forward(
-                    params, cfg_, ids, pos, cache, mask,
-                    chunk={"row": crow, "pos": cpos, "n": CHUNK,
-                           "last": jnp.maximum(n_valid - 1, 0),
-                           "band": band, "win_start": s0, "win": WIN},
-                )
+                    params, cfg_, ids, pos, cache, mask, chunk=ch)
                 st["k"], st["v"] = cache["k"], cache["v"]
                 # ---- decode bookkeeping (identical to the epoch runner)
                 last = logits[:pool, 0]
