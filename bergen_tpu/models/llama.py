@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -445,18 +446,21 @@ def _attention(
     if chunk is not None:
         # Fused decode + chunked prefill (the serving drain's piggyback
         # step): the LAST chunk["n"] batch rows are prompt-chunk tokens of
-        # ONE joining slot — they shared every projection with the decode
-        # rows above (one weight read per layer; decode is weight-HBM-bound,
-        # so the extra MXU rows are nearly free), and split off here only
-        # for the cache write + attention core.  Decode rows behave exactly
-        # as the plain path; chunk rows write their K/V CONTIGUOUSLY into
-        # cache row chunk["row"] at [chunk["pos"], chunk["pos"]+n) (one
+        # up to P joining slots (P "staging pipes", chunk["per"] rows each —
+        # one pipe at ~0.38 req/step could not refill 32 slots that drain
+        # at ~0.47 req/step, so occupancy collapsed).  Chunk rows shared
+        # every projection with the decode rows above (one weight read per
+        # layer; decode is weight-HBM-bound, so the extra MXU rows are
+        # nearly free), and split off here only for the cache write +
+        # attention core.  Decode rows behave exactly as the plain path;
+        # pipe p's rows write their K/V CONTIGUOUSLY into cache row
+        # chunk["row"][p] at [chunk["pos"][p], +per) (one
         # dynamic_update_slice — all behind the drain's ring cursor, where
         # decode never writes again) and attend to that row under the
-        # caller's per-chunk-token masks (staged prefix + intra-chunk
-        # causal).  Replaces the epoch drain's batched-prefill branches,
-        # whose [A, Pb] forwards stalled every active slot's decode
-        # (reference capability: vLLM models/generators/vllm.py:48-78).
+        # grown-window masks (staged prefix + intra-chunk causal).
+        # Replaces the epoch drain's batched-prefill branches, whose
+        # [A, Pb] forwards stalled every active slot's decode (reference
+        # capability: vLLM models/generators/vllm.py:48-78).
         if S != 1 or cursor.ndim != 0:
             raise NotImplementedError(
                 "chunked prefill fuses into S==1 scalar-cursor decode steps")
@@ -464,6 +468,10 @@ def _attention(
             raise NotImplementedError(
                 "chunked prefill not supported on sliding-window layers")
         Cn = chunk["n"]
+        Cp = int(chunk.get("per", Cn))            # rows per staging pipe
+        nP = Cn // Cp
+        rows_p = jnp.atleast_1d(chunk["row"])     # [P] cache row per pipe
+        pos_p = jnp.atleast_1d(chunk["pos"])      # [P] write base per pipe
         Bc = B - Cn                               # pool rows in the cache
         L = k_all.shape[2]
         # decode rows: aligned write at the shared ring cursor
@@ -473,17 +481,16 @@ def _attention(
         v_all = jax.lax.dynamic_update_slice(
             v_all, v[:Bc].astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
         )
-        # chunk rows: contiguous region of the joining slot's row
-        kc = k[Bc:, 0][None, None]                # [1, 1, Cn, KH, Dh]
-        vc = v[Bc:, 0][None, None]
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, kc.astype(k_all.dtype), (li, chunk["row"], chunk["pos"],
-                                            0, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, vc.astype(v_all.dtype), (li, chunk["row"], chunk["pos"],
-                                            0, 0)
-        )
+        # chunk rows: contiguous region of each joining slot's row
+        for p_i in range(nP):
+            kc = k[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None, None]
+            vc = v[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None, None]
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, kc.astype(k_all.dtype),
+                (li, rows_p[p_i], pos_p[p_i], 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, vc.astype(v_all.dtype),
+                (li, rows_p[p_i], pos_p[p_i], 0, 0))
         k_cache, v_cache = k_all[li], v_all[li]
         group = H // KH
         scale = (
@@ -499,13 +506,33 @@ def _attention(
             bias = jnp.where(mask[:, None, None, :, :], 0.0, -1e30)
             return jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
 
-        # decode rows: each row vs its own cache row (as the plain path)
-        qd = q[:Bc].reshape(Bc, 1, KH, group, Dh)
-        sd = jnp.einsum("bskgd,blkd->bkgsl", qd, k_cache,
-                        preferred_element_type=jnp.float32) * scale
-        pd = _soft(sd, attn_mask[:Bc])
-        ctx_d = jnp.einsum("bkgsl,blkd->bskgd", pd, v_cache,
-                           preferred_element_type=jnp.float32)
+        # decode rows: each row vs its own cache row (as the plain path).
+        # Same kernel/gate as the plain S==1 decode below: the einsum
+        # composition batch-loops per row on TPU (see decode_attention).
+        _fd = os.environ.get("BERGEN_TPU_FLASH_DECODE", "1")
+        use_flash_dec = (
+            not cfg.attn_logit_softcap
+            and cfg.query_pre_attn_scalar is None
+            and _fd != "0"
+            and (jax.default_backend() == "tpu" or _fd == "interpret")
+            and L % 16 == 0
+            and Dh % 64 == 0
+        )
+        if use_flash_dec:
+            from bergen_tpu.ops.decode_attention import decode_attention
+
+            ctx_d = decode_attention(
+                q[:Bc, 0].reshape(Bc, H, Dh), k_cache, v_cache,
+                attn_mask[:Bc, -1], sm_scale=scale,
+                interpret=_fd == "interpret",
+            ).reshape(Bc, 1, KH, group, Dh)
+        else:
+            qd = q[:Bc].reshape(Bc, 1, KH, group, Dh)
+            sd = jnp.einsum("bskgd,blkd->bkgsl", qd, k_cache,
+                            preferred_element_type=jnp.float32) * scale
+            pd = _soft(sd, attn_mask[:Bc])
+            ctx_d = jnp.einsum("bkgsl,blkd->bskgd", pd, v_cache,
+                               preferred_element_type=jnp.float32)
         # chunk rows: ALL vs the joining slot's cache row.  Three engines:
         #
         # * GROWN-WINDOW einsum (default when the caller supplies the
@@ -542,78 +569,97 @@ def _attention(
         if use_band:
             from bergen_tpu.ops.flash_attention import flash_attention_band
 
+            if nP != 1:
+                raise NotImplementedError(
+                    "the banded-kernel A/B path supports one staging pipe")
             Wn = chunk["win"]
             k_win = jax.lax.dynamic_slice(
-                k_cache, (chunk["row"], chunk["win_start"], 0, 0),
+                k_cache, (rows_p[0], chunk["win_start"], 0, 0),
                 (1, Wn, KH, Dh))[0]
             v_win = jax.lax.dynamic_slice(
-                v_cache, (chunk["row"], chunk["win_start"], 0, 0),
+                v_cache, (rows_p[0], chunk["win_start"], 0, 0),
                 (1, Wn, KH, Dh))[0]
-            ctx_c = flash_attention_band(
+            ctx_c = [flash_attention_band(
                 q[Bc:, 0], k_win, v_win, chunk["band"], sm_scale=scale
-            ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+            ).astype(x.dtype).reshape(Cn, 1, H * Dh)]
         elif use_grown:
             WBLK = 128
             Wn = chunk["win"]               # static max window (128-mult)
             nb = max(1, Wn // WBLK)
-            pf = chunk["win_start"]          # staging base (dynamic)
-            off = chunk["off"]               # tokens already staged
-            nv = chunk.get("nv", jnp.int32(Cn))
-            ci = jnp.arange(Cn)
-            # per-row visible-key count relative to the staging base; rows
-            # past nv clamp to the last valid row's bound (garbage rows —
-            # outputs unused, but hi >= 1 keeps the softmax finite)
-            hi_rel = off + jnp.minimum(ci, jnp.maximum(nv - 1, 0)) + 1
-            qc = q[Bc:, 0].reshape(1, Cn, KH, group, Dh)
-            # window start aligns DOWN to the 128-block holding the staging
-            # base, so the in-window offset d0 < WBLK is known when picking
-            # the branch.  If a branch must clamp (s0a > L - w), the extra
-            # shift still fits because pf + off + Cn <= L - 1 implies
-            # d + off + Cn <= w - 1 at s0 = L - w.
-            d0 = pf % WBLK
-            s0a = pf - d0
-            idx = jnp.clip((d0 + off + Cn + WBLK - 1) // WBLK - 1, 0, nb - 1)
+            off_p = jnp.atleast_1d(chunk["off"])
+            nv_p = jnp.atleast_1d(chunk["nv"])
+            base_p = jnp.atleast_1d(chunk["win_start"])
+            ci = jnp.arange(Cp)
+            ctx_c = []
+            for p_i in range(nP):
+                pf = base_p[p_i]             # staging base (dynamic)
+                off = off_p[p_i]             # tokens already staged
+                nv = nv_p[p_i]
+                # per-row visible-key count relative to the staging base;
+                # rows past nv clamp to the last valid row's bound (garbage
+                # rows — outputs unused, but hi >= 1 keeps softmax finite)
+                hi_rel = off + jnp.minimum(ci, jnp.maximum(nv - 1, 0)) + 1
+                qc = q[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0].reshape(
+                    1, Cp, KH, group, Dh)
+                # window start aligns DOWN to the 128-block holding the
+                # staging base, so the in-window offset d0 < WBLK is known
+                # when picking the branch.  If a branch must clamp
+                # (s0a > L - w), the extra shift still fits because
+                # pf + off + Cp <= L - 1 implies d + off + Cp <= w - 1 at
+                # s0 = L - w.
+                d0 = pf % WBLK
+                s0a = pf - d0
+                idx = jnp.clip(
+                    (d0 + off + Cp + WBLK - 1) // WBLK - 1, 0, nb - 1)
+                row_i = rows_p[p_i]
 
-            def _mk(j):
-                w = (j + 1) * WBLK
+                def _mk(j, pf=pf, s0a=s0a, hi_rel=hi_rel, qc=qc,
+                        row_i=row_i):
+                    w = (j + 1) * WBLK
 
-                def br(_):
-                    s0 = jnp.clip(jnp.minimum(s0a, L - w), 0, None)
-                    d = pf - s0
-                    kw = jax.lax.dynamic_slice(
-                        k_cache, (chunk["row"], s0, 0, 0), (1, w, KH, Dh))
-                    vw = jax.lax.dynamic_slice(
-                        v_cache, (chunk["row"], s0, 0, 0), (1, w, KH, Dh))
-                    jj = jnp.arange(w)
-                    m = ((jj[None, :] >= d)
-                         & (jj[None, :] < d + hi_rel[:, None]))[None]
-                    sc = jnp.einsum(
-                        "bskgd,blkd->bkgsl", qc, kw,
-                        preferred_element_type=jnp.float32) * scale
-                    p = _soft(sc, m)
-                    return jnp.einsum(
-                        "bkgsl,blkd->bskgd", p, vw,
-                        preferred_element_type=jnp.float32,
-                    ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+                    def br(_):
+                        s0 = jnp.clip(jnp.minimum(s0a, L - w), 0, None)
+                        d = pf - s0
+                        kw = jax.lax.dynamic_slice(
+                            k_cache, (row_i, s0, 0, 0), (1, w, KH, Dh))
+                        vw = jax.lax.dynamic_slice(
+                            v_cache, (row_i, s0, 0, 0), (1, w, KH, Dh))
+                        jj = jnp.arange(w)
+                        m = ((jj[None, :] >= d)
+                             & (jj[None, :] < d + hi_rel[:, None]))[None]
+                        sc = jnp.einsum(
+                            "bskgd,blkd->bkgsl", qc, kw,
+                            preferred_element_type=jnp.float32) * scale
+                        p = _soft(sc, m)
+                        return jnp.einsum(
+                            "bkgsl,blkd->bskgd", p, vw,
+                            preferred_element_type=jnp.float32,
+                        ).astype(x.dtype).reshape(Cp, 1, H * Dh)
 
-                return br
+                    return br
 
-            ctx_c = jax.lax.switch(idx, [_mk(j) for j in range(nb)], None)
+                ctx_c.append(jax.lax.switch(
+                    idx, [_mk(j) for j in range(nb)], None))
         else:
-            k_row = jax.lax.dynamic_slice(
-                k_cache, (chunk["row"], 0, 0, 0), (1, L, KH, Dh))
-            v_row = jax.lax.dynamic_slice(
-                v_cache, (chunk["row"], 0, 0, 0), (1, L, KH, Dh))
-            qc = q[Bc:, 0].reshape(1, Cn, KH, group, Dh)
-            sc_ = jnp.einsum("bskgd,blkd->bkgsl", qc, k_row,
-                             preferred_element_type=jnp.float32) * scale
-            pc = _soft(sc_, attn_mask[Bc:, 0][None])
-            ctx_c = jnp.einsum(
-                "bkgsl,blkd->bskgd", pc, v_row,
-                preferred_element_type=jnp.float32
-            ).astype(x.dtype).reshape(Cn, 1, H * Dh)
+            ctx_c = []
+            for p_i in range(nP):
+                k_row = jax.lax.dynamic_slice(
+                    k_cache, (rows_p[p_i], 0, 0, 0), (1, L, KH, Dh))
+                v_row = jax.lax.dynamic_slice(
+                    v_cache, (rows_p[p_i], 0, 0, 0), (1, L, KH, Dh))
+                qc = q[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0].reshape(
+                    1, Cp, KH, group, Dh)
+                sc_ = jnp.einsum("bskgd,blkd->bkgsl", qc, k_row,
+                                 preferred_element_type=jnp.float32) * scale
+                pc = _soft(
+                    sc_,
+                    attn_mask[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None])
+                ctx_c.append(jnp.einsum(
+                    "bkgsl,blkd->bskgd", pc, v_row,
+                    preferred_element_type=jnp.float32
+                ).astype(x.dtype).reshape(Cp, 1, H * Dh))
         ctx = jnp.concatenate(
-            [ctx_d.astype(x.dtype).reshape(Bc, 1, H * Dh), ctx_c], axis=0
+            [ctx_d.astype(x.dtype).reshape(Bc, 1, H * Dh)] + ctx_c, axis=0
         )
         return _proj(layer["attn"]["o"], ctx), k_all, v_all
 
@@ -678,6 +724,34 @@ def _attention(
             interpret=jax.default_backend() != "tpu",
         )
         return _proj(layer["attn"]["o"], ctx.reshape(B, S, H * Dh)), k_all, v_all
+
+    # S==1 decode: the einsum composition lowers to a batch loop of tiny
+    # per-row matvecs on TPU (~3.3 us x rows x layers regardless of L —
+    # measured 2.4 ms of a 4.14 ms serving decode step at pool=33/L=832);
+    # the Pallas kernel streams each row's KV through VMEM with real MXU
+    # dots.  OPT-IN until it beats the einsum on chip (first form measured
+    # 4.29 ms/step vs 2.40 — per-row in-kernel compute, not grid overhead,
+    # binds it).  BERGEN_TPU_FLASH_DECODE: "1" = on for TPU, unset/"0" =
+    # off, "interpret" = forced interpreter (CPU parity tests).
+    _fd = os.environ.get("BERGEN_TPU_FLASH_DECODE", "0")
+    L_dec = k_cache.shape[1]
+    if (
+        S == 1
+        and flash_compatible
+        and _fd != "0"
+        and (jax.default_backend() == "tpu" or _fd == "interpret")
+        and L_dec % 16 == 0
+        and Dh % 64 == 0
+    ):
+        from bergen_tpu.ops.decode_attention import decode_attention
+
+        scale_d = 1.0 / math.sqrt(Dh)
+        ctx = decode_attention(
+            q[:, 0].reshape(B, H, Dh), k_cache, v_cache, attn_mask[:, -1],
+            sm_scale=scale_d, interpret=_fd == "interpret",
+        )
+        return (_proj(layer["attn"]["o"], ctx.reshape(B, 1, H * Dh)),
+                k_all, v_all)
 
     group = H // KH
     qg = q.reshape(B, S, KH, group, Dh)
@@ -902,16 +976,22 @@ def forward(
 
     x = _norm(params["final_norm"], x, cfg)
     if chunk is not None and "last" in chunk:
-        # fused chunked prefill: only the decode rows and the chunk's LAST
-        # valid token need logits (the chunk's other rows exist to stage
-        # K/V) — slice before the LM head so its matmul and the [*, V] f32
-        # logits buffer don't pay for chunk["n"] rows every step.  Returns
-        # [Bc + 1, S, V]: callers read the staged request's first token at
-        # row Bc.
-        Bc = x.shape[0] - chunk["n"]
-        xl = jax.lax.dynamic_slice(
-            x, (Bc + chunk["last"], 0, 0), (1, x.shape[1], x.shape[2]))
-        x = jnp.concatenate([x[:Bc], xl], axis=0)
+        # fused chunked prefill: only the decode rows and each pipe's LAST
+        # valid chunk token need logits (the other chunk rows exist to
+        # stage K/V) — slice before the LM head so its matmul and the
+        # [*, V] f32 logits buffer don't pay for chunk["n"] rows every
+        # step.  Returns [Bc + P, S, V]: callers read pipe p's staged
+        # first token at row Bc + p.
+        Cn_ = chunk["n"]
+        Cp_ = int(chunk.get("per", Cn_))
+        Bc = x.shape[0] - Cn_
+        last_p = jnp.atleast_1d(chunk["last"])
+        parts = [x[:Bc]]
+        for p_i in range(Cn_ // Cp_):
+            parts.append(jax.lax.dynamic_slice(
+                x, (Bc + p_i * Cp_ + last_p[p_i], 0, 0),
+                (1, x.shape[1], x.shape[2])))
+        x = jnp.concatenate(parts, axis=0)
     head = params.get("lm_head")
     if head is None:  # tied embeddings
         logits = jnp.dot(

@@ -584,7 +584,8 @@ class GenerationServer:
 
     @functools.lru_cache(maxsize=None)
     def _workload_runner_chunked(self, R: int, Pmax: int, max_new: int,
-                                 Lc: int, KEEP: int, CHUNK: int):
+                                 Lc: int, KEEP: int, CHUNK: int,
+                                 P: int = 1):
         """Chunked-prefill drain: prompts no longer prefill as standalone
         [A, Pb] forwards that stall every active slot (the epoch runner's
         admission branches) — each step's forward carries the S+1 decode
@@ -662,11 +663,11 @@ class GenerationServer:
                 "slot_req": jnp.zeros((pool,), jnp.int32),
                 "out": jnp.full((R, max_new), pad, jnp.int32),
                 "n_out": jnp.zeros((R,), jnp.int32),
-                "pf_active": jnp.asarray(False),
-                "pf_req": jnp.int32(0),
-                "pf_slot": jnp.int32(S),
-                "pf_base": jnp.int32(0),
-                "pf_done": jnp.int32(0),
+                "pf_active": jnp.zeros((P,), bool),
+                "pf_req": jnp.zeros((P,), jnp.int32),
+                "pf_slot": jnp.full((P,), S, jnp.int32),
+                "pf_base": jnp.zeros((P,), jnp.int32),
+                "pf_done": jnp.zeros((P,), jnp.int32),
                 "next_req": jnp.int32(0),
                 "it": jnp.int32(0),
                 "rng": rng,
@@ -674,78 +675,103 @@ class GenerationServer:
             pidx = jnp.arange(Lc)
 
             def work_left(st):
-                return (jnp.any(st["active"]) | st["pf_active"]
+                return (jnp.any(st["active"]) | jnp.any(st["pf_active"])
                         | (st["next_req"] < R))
 
             def body(st):
                 st = dict(st)
-                rng, k_dec, k_pf = jax.random.split(st["rng"], 3)
+                keys = jax.random.split(st["rng"], 2 + P)
+                rng, k_dec, k_pf = keys[0], keys[1], keys[2:]
                 st["rng"] = rng
                 st["it"] = st["it"] + 1
                 g = st["g"]
-                # ---- staging start: scalars + one valid-row clear; no
-                # lax.cond touches the caches
+                # ---- staging starts: P pipes claim requests at START (a
+                # pipe is a chunk-row block; more pipes = more prompt tokens
+                # staged per step — one pipe's ~0.38 req/step could not
+                # refill 32 slots draining at ~0.47 req/step).  Scalars +
+                # valid-row clears only; no lax.cond touches the caches.
                 occ = st["active"].at[S].set(True)
-                occ = occ | ((jnp.arange(pool) == st["pf_slot"])
-                             & st["pf_active"])
-                start = ((~st["pf_active"]) & (st["next_req"] < R)
-                         & jnp.any(~occ[:S]))
-                slot = jnp.argmin(occ[:S].astype(jnp.int32))
-                req = order[jnp.minimum(st["next_req"], R - 1)]
-                plen_s = plens[req]
-                st["pf_slot"] = jnp.where(start, slot, st["pf_slot"])
-                st["pf_req"] = jnp.where(start, req, st["pf_req"])
-                st["pf_base"] = jnp.where(start, g - plen_s, st["pf_base"])
-                st["pf_done"] = jnp.where(start, 0, st["pf_done"])
-                st["pf_active"] = st["pf_active"] | start
-                rowsel = jnp.arange(pool) == st["pf_slot"]
-                st["valid"] = jnp.where(
-                    rowsel[:, None] & start, False, st["valid"])
-                # ---- chunk operands for the fused forward
-                act = st["pf_active"]
+                for p_i in range(P):
+                    occ = occ | ((jnp.arange(pool) == st["pf_slot"][p_i])
+                                 & st["pf_active"][p_i])
+                nr = st["next_req"]
+                for p_i in range(P):
+                    start = ((~st["pf_active"][p_i]) & (nr < R)
+                             & jnp.any(~occ[:S]))
+                    slot = jnp.argmin(occ[:S].astype(jnp.int32))
+                    req = order[jnp.minimum(nr, R - 1)]
+                    plen_s = plens[req]
+                    st["pf_slot"] = st["pf_slot"].at[p_i].set(
+                        jnp.where(start, slot, st["pf_slot"][p_i]))
+                    st["pf_req"] = st["pf_req"].at[p_i].set(
+                        jnp.where(start, req, st["pf_req"][p_i]))
+                    st["pf_base"] = st["pf_base"].at[p_i].set(
+                        jnp.where(start, g - plen_s, st["pf_base"][p_i]))
+                    st["pf_done"] = st["pf_done"].at[p_i].set(
+                        jnp.where(start, 0, st["pf_done"][p_i]))
+                    st["pf_active"] = st["pf_active"].at[p_i].set(
+                        st["pf_active"][p_i] | start)
+                    rowsel = jnp.arange(pool) == slot
+                    st["valid"] = jnp.where(
+                        rowsel[:, None] & start, False, st["valid"])
+                    occ = occ | (rowsel & start)
+                    nr = nr + start.astype(jnp.int32)
+                st["next_req"] = nr
+                # ---- chunk operands for the fused forward (per pipe)
+                act = st["pf_active"]                       # [P]
                 crow = jnp.where(act, st["pf_slot"], jnp.int32(S))
-                req_c = jnp.minimum(st["pf_req"], R - 1)
+                req_c = jnp.minimum(st["pf_req"], R - 1)    # [P]
                 plen_c = plens[req_c]
-                off = st["pf_done"]
+                off = st["pf_done"]                         # [P]
                 n_valid = jnp.where(
                     act, jnp.minimum(plen_c - off, CHUNK), 0)
-                chunk_ids = jax.lax.dynamic_slice(
-                    prompts[req_c], (off,), (CHUNK,))
-                chunk_pos = off + jnp.arange(CHUNK, dtype=jnp.int32)
                 ci = jnp.arange(CHUNK)
-                ci_c = jnp.minimum(ci, jnp.maximum(n_valid - 1, 0))
-                cmask = ((pidx[None, :] >= st["pf_base"])
-                         & (pidx[None, :]
-                            < st["pf_base"] + off + ci_c[:, None] + 1)
-                         & act)
+                chunk_ids = []
+                chunk_pos = []
+                cmask = []
+                for p_i in range(P):
+                    chunk_ids.append(jax.lax.dynamic_slice(
+                        prompts[req_c[p_i]], (off[p_i],), (CHUNK,)))
+                    chunk_pos.append(off[p_i]
+                                     + jnp.arange(CHUNK, dtype=jnp.int32))
+                    ci_c = jnp.minimum(
+                        ci, jnp.maximum(n_valid[p_i] - 1, 0))
+                    cmask.append(
+                        (pidx[None, :] >= st["pf_base"][p_i])
+                        & (pidx[None, :]
+                           < st["pf_base"][p_i] + off[p_i]
+                           + ci_c[:, None] + 1)
+                        & act[p_i])
                 cpos = jnp.clip(st["pf_base"] + off, 0, Lc - CHUNK)
                 # grown-window chunk attention (llama._attention's default
                 # engine): needs only the staging base + progress scalars;
                 # the lax.switch there sizes the key window to the staged
                 # prefix.  The banded flash kernel (opt-in A/B via
-                # BERGEN_TPU_CHUNK_BAND=1) additionally needs the clipped
-                # window start and per-row window-relative bands.
-                s0 = jnp.clip(st["pf_base"], 0, Lc - WIN)
-                delta = st["pf_base"] - s0
-                band = jnp.stack(
-                    [jnp.full((CHUNK,), delta, jnp.int32),
-                     jnp.where(act, delta + off + ci_c + 1, 0)
-                     .astype(jnp.int32)], axis=1)
-                use_band_kernel = os.environ.get(
-                    "BERGEN_TPU_CHUNK_BAND") == "1"
-                # ---- ONE fused forward: decode rows + chunk rows
+                # BERGEN_TPU_CHUNK_BAND=1, P=1 only) additionally needs the
+                # clipped window start and per-row window-relative bands.
+                use_band_kernel = (os.environ.get(
+                    "BERGEN_TPU_CHUNK_BAND") == "1") and P == 1
+                # ---- ONE fused forward: decode rows + P chunk-row blocks
                 cache = {"k": st["k"], "v": st["v"], "cursor": g}
                 dec_valid = st["valid"].at[:, g].set(True)
-                ids = jnp.concatenate([st["cur_tok"], chunk_ids])[:, None]
-                pos = jnp.concatenate([st["tok_pos"], chunk_pos])[:, None]
+                ids = jnp.concatenate([st["cur_tok"]] + chunk_ids)[:, None]
+                pos = jnp.concatenate([st["tok_pos"]] + chunk_pos)[:, None]
                 mask = jnp.concatenate(
-                    [dec_valid[:, None, :], cmask[:, None, :]], axis=0)
-                ch = {"row": crow, "pos": cpos, "n": CHUNK,
+                    [dec_valid[:, None, :]]
+                    + [m[:, None, :] for m in cmask], axis=0)
+                ch = {"row": crow, "pos": cpos, "n": P * CHUNK, "per": CHUNK,
                       "last": jnp.maximum(n_valid - 1, 0),
                       "off": off, "nv": n_valid,
                       "win_start": st["pf_base"], "win": WIN}
                 if use_band_kernel:
-                    ch["band"], ch["win_start"] = band, s0
+                    s0 = jnp.clip(st["pf_base"][0], 0, Lc - WIN)
+                    delta = st["pf_base"][0] - s0
+                    ci_c0 = jnp.minimum(ci, jnp.maximum(n_valid[0] - 1, 0))
+                    ch["band"] = jnp.stack(
+                        [jnp.full((CHUNK,), delta, jnp.int32),
+                         jnp.where(act[0], delta + off[0] + ci_c0 + 1, 0)
+                         .astype(jnp.int32)], axis=1)
+                    ch["win_start"] = s0
                 logits, cache = llama.forward(
                     params, cfg_, ids, pos, cache, mask, chunk=ch)
                 st["k"], st["v"] = cache["k"], cache["v"]
@@ -768,32 +794,41 @@ class GenerationServer:
                     (nxt == eos) | (st["n_out"][reqs] >= max_news[reqs])
                 )
                 st["active"] = st["active"] & ~finished
-                # ---- staging progress + completion
-                new_done = off + n_valid
-                fin = act & (new_done >= plen_c)
+                # ---- staging progress + completion (per pipe; pipes hold
+                # distinct slots and requests, so sequential updates are
+                # non-conflicting)
+                new_done = off + n_valid                    # [P]
+                fin = act & (new_done >= plen_c)            # [P]
                 st["pf_done"] = jnp.where(act, new_done, st["pf_done"])
-                # forward sliced the head to [pool + 1] rows: row `pool`
-                # IS the chunk's last valid token (chunk["last"])
-                clast = logits[pool:pool + 1, 0]
-                if temp_ > 0:
-                    ftok = llama.sample_token(clast, k_pf, temp_, top_p_)[0]
-                else:
-                    ftok = jnp.argmax(clast[0], axis=-1).astype(jnp.int32)
-                region = ((pidx >= st["pf_base"])
-                          & (pidx < st["pf_base"] + plen_c))
-                rsel = jnp.arange(pool) == crow
-                st["valid"] = jnp.where(
-                    rsel[:, None] & region[None, :] & fin, True, st["valid"])
-                done1 = (ftok == eos) | (max_news[req_c] <= 1)
-                st["active"] = jnp.where(rsel & fin, ~done1, st["active"])
-                st["tok_pos"] = jnp.where(rsel & fin, plen_c, st["tok_pos"])
-                st["cur_tok"] = jnp.where(rsel & fin, ftok, st["cur_tok"])
-                st["slot_req"] = jnp.where(rsel & fin, req_c, st["slot_req"])
-                oi = jnp.where(fin, req_c, R)
-                st["out"] = st["out"].at[oi, 0].set(ftok, mode="drop")
-                st["n_out"] = st["n_out"].at[oi].set(1, mode="drop")
+                for p_i in range(P):
+                    # forward sliced the head to [pool + P] rows: row
+                    # pool + p IS pipe p's last valid chunk token
+                    clast = logits[pool + p_i:pool + p_i + 1, 0]
+                    if temp_ > 0:
+                        ftok = llama.sample_token(
+                            clast, k_pf[p_i], temp_, top_p_)[0]
+                    else:
+                        ftok = jnp.argmax(clast[0], axis=-1).astype(jnp.int32)
+                    fin_i = fin[p_i]
+                    region = ((pidx >= st["pf_base"][p_i])
+                              & (pidx < st["pf_base"][p_i] + plen_c[p_i]))
+                    rsel = jnp.arange(pool) == crow[p_i]
+                    st["valid"] = jnp.where(
+                        rsel[:, None] & region[None, :] & fin_i, True,
+                        st["valid"])
+                    done1 = (ftok == eos) | (max_news[req_c[p_i]] <= 1)
+                    st["active"] = jnp.where(
+                        rsel & fin_i, ~done1, st["active"])
+                    st["tok_pos"] = jnp.where(
+                        rsel & fin_i, plen_c[p_i], st["tok_pos"])
+                    st["cur_tok"] = jnp.where(
+                        rsel & fin_i, ftok, st["cur_tok"])
+                    st["slot_req"] = jnp.where(
+                        rsel & fin_i, req_c[p_i], st["slot_req"])
+                    oi = jnp.where(fin_i, req_c[p_i], R)
+                    st["out"] = st["out"].at[oi, 0].set(ftok, mode="drop")
+                    st["n_out"] = st["n_out"].at[oi].set(1, mode="drop")
                 st["pf_active"] = act & ~fin
-                st["next_req"] = st["next_req"] + fin.astype(jnp.int32)
                 return st
 
             def inner_cond(st):
@@ -914,14 +949,18 @@ class GenerationServer:
 
     def plan_workload_chunked(self, prompt_ids_list: List[List[int]],
                               max_new_tokens: int | List[int] = 64,
-                              chunk_size: int = 128):
+                              chunk_size: int = 128, pipes: int = 2):
         """Host-side schedule for the chunked-prefill drain: pad prompts
         (with ``chunk_size`` of slack so the per-step chunk slice never
         clamps), order requests longest-generation-budget-first, and size
         the ring so a full live window — prompt + staging steps + budget —
-        plus the chunk-write slack fits.  Returns ``(runner, args)``."""
+        plus the chunk-write slack fits.  ``pipes`` staging pipes run
+        concurrently (``pipes * chunk_size`` extra forward rows); 2 pipes
+        keep the slot pool refilled at bench mixes where one pipe's
+        staging rate starves it.  Returns ``(runner, args)``."""
         R = len(prompt_ids_list)
         CHUNK = int(chunk_size)
+        P = max(1, min(int(pipes), R))
         if isinstance(max_new_tokens, int):
             max_news = np.full(R, max_new_tokens, np.int32)
         else:
@@ -939,7 +978,7 @@ class GenerationServer:
         # epoch length (steps between ring compactions) >= 48
         Lc = ((KEEP + CHUNK + 49 + 127) // 128) * 128
         runner = self._workload_runner_chunked(
-            R, Pmax, int(max_news.max()), Lc, KEEP, CHUNK)
+            R, Pmax, int(max_news.max()), Lc, KEEP, CHUNK, P=P)
         args = (
             self.params, jnp.asarray(prompts), jnp.asarray(plens),
             jnp.asarray(max_news), jnp.asarray(order), self._next_key(),
@@ -949,7 +988,8 @@ class GenerationServer:
     def run_workload(self, prompt_ids_list: List[List[int]],
                      max_new_tokens: int | List[int] = 64,
                      mode: str = "auto",
-                     chunk_size: int = 128) -> List[List[int]]:
+                     chunk_size: int = 128,
+                     pipes: int = 2) -> List[List[int]]:
         """Drain a whole mixed-length workload in one device program.
         ``max_new_tokens`` may vary per request (slots free at each
         request's own limit — the continuous-batching win).  Returns
@@ -966,7 +1006,8 @@ class GenerationServer:
             mode = "epoch" if sliding else "chunked"
         if mode == "chunked":
             runner, args = self.plan_workload_chunked(
-                prompt_ids_list, max_new_tokens, chunk_size=chunk_size)
+                prompt_ids_list, max_new_tokens, chunk_size=chunk_size,
+                pipes=pipes)
         else:
             runner, args = self.plan_workload(prompt_ids_list,
                                               max_new_tokens)
