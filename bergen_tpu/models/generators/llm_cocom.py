@@ -79,7 +79,8 @@ class COCOM(Generator):
         def _compress(params, input_ids, attention_mask, n_mem):
             """Hidden states at the trailing n_mem positions → memory."""
             B, S = input_ids.shape
-            cache = llama.init_cache(self.compr_cfg, B, S, dtype=self.dtype)
+            cache = llama.init_cache(self.compr_cfg, B, S, dtype=self.dtype,
+                                      flat=False)
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
             causal = jnp.tril(jnp.ones((S, S), bool))
             mask = causal[None] & attention_mask[:, None, :].astype(bool)

@@ -234,10 +234,24 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray,
 # --------------------------------------------------------------------------- #
 
 
-def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               flat: bool | None = None):
+    """``flat=None`` auto-picks the layout: the kernel-native FLAT
+    ``[.., L, KH*Dh]`` when the decode-attention kernel will serve this
+    config's decode steps (ops.decode_attention.flat_cache_ok), else the
+    4-D layout (whose XLA HBM arrangement is L-minor — right for the
+    einsum paths, a transpose away from the kernel's)."""
+    if flat is None:
+        from bergen_tpu.ops.decode_attention import flat_cache_ok
+
+        flat = flat_cache_ok(cfg, max_len)
+    kv_shape = (
+        (cfg.num_layers, batch, max_len, cfg.num_kv_heads * cfg.head_dim)
+        if flat else
+        (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim))
     return {
-        "k": jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
-        "v": jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+        "k": jnp.zeros(kv_shape, dtype),
+        "v": jnp.zeros(kv_shape, dtype),
         "cursor": jnp.zeros((), jnp.int32),
     }
 
@@ -430,7 +444,14 @@ def _attention(
     x: jnp.ndarray,          # [B, S, D]
     positions: jnp.ndarray,  # [B, S]
     inv_freq: jnp.ndarray,
-    k_all: jnp.ndarray,      # [n_layers, B, L, KH, Dh] (stacked cache)
+    k_all: jnp.ndarray,      # [n_layers, B, L, KH, Dh] stacked cache, or
+    #                          FLAT [n_layers, B, L, KH*Dh] — the layout the
+    #                          decode kernel consumes natively (XLA stores
+    #                          the 4-D form L-minor, so reshaping at the
+    #                          call site would physically transpose the
+    #                          whole cache every step: measured 1.9 ms).
+    #                          Flat is chosen by cache CREATORS via
+    #                          ops.decode_attention.flat_cache_ok.
     v_all: jnp.ndarray,
     li: int,                 # this layer's cache row
     cursor: jnp.ndarray,     # scalar: write offset in cache
@@ -440,6 +461,18 @@ def _attention(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, S, D = x.shape
     H, KH, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    flat = k_all.ndim == 4
+
+    def _kv_write(buf, vals, b0, pos):
+        """Write [Bw, Sw, KH, Dh] K/V rows at (li, b0, pos) in either
+        cache layout (tiny reshape; never touches the big buffer)."""
+        Bw, Sw = vals.shape[:2]
+        if flat:
+            return jax.lax.dynamic_update_slice(
+                buf, vals.reshape(1, Bw, Sw, KH * Dh).astype(buf.dtype),
+                (li, b0, pos, 0))
+        return jax.lax.dynamic_update_slice(
+            buf, vals[None].astype(buf.dtype), (li, b0, pos, 0, 0))
 
     q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
 
@@ -475,22 +508,14 @@ def _attention(
         Bc = B - Cn                               # pool rows in the cache
         L = k_all.shape[2]
         # decode rows: aligned write at the shared ring cursor
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k[:Bc].astype(k_all.dtype)[None], (li, 0, cursor, 0, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v[:Bc].astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
-        )
+        k_all = _kv_write(k_all, k[:Bc], 0, cursor)
+        v_all = _kv_write(v_all, v[:Bc], 0, cursor)
         # chunk rows: contiguous region of each joining slot's row
         for p_i in range(nP):
-            kc = k[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None, None]
-            vc = v[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None, None]
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, kc.astype(k_all.dtype),
-                (li, rows_p[p_i], pos_p[p_i], 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, vc.astype(v_all.dtype),
-                (li, rows_p[p_i], pos_p[p_i], 0, 0))
+            kc = k[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None]
+            vc = v[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0][None]
+            k_all = _kv_write(k_all, kc, rows_p[p_i], pos_p[p_i])
+            v_all = _kv_write(v_all, vc, rows_p[p_i], pos_p[p_i])
         k_cache, v_cache = k_all[li], v_all[li]
         group = H // KH
         scale = (
@@ -511,27 +536,28 @@ def _attention(
         # composition batch-loops per row on TPU (see decode_attention).
         _fd = os.environ.get("BERGEN_TPU_FLASH_DECODE", "1")
         use_flash_dec = (
-            not cfg.attn_logit_softcap
+            flat
+            and not cfg.attn_logit_softcap
             and cfg.query_pre_attn_scalar is None
             and _fd != "0"
             and (jax.default_backend() == "tpu" or _fd == "interpret")
-            and L % 16 == 0
-            and Dh % 64 == 0
         )
         if use_flash_dec:
             from bergen_tpu.ops.decode_attention import decode_attention
 
             ctx_d = decode_attention(
                 q[:Bc, 0].reshape(Bc, H, Dh), k_cache, v_cache,
-                attn_mask[:Bc, -1], sm_scale=scale,
+                attn_mask[:Bc, -1], kv_heads=KH, sm_scale=scale,
                 interpret=_fd == "interpret",
             ).reshape(Bc, 1, KH, group, Dh)
         else:
+            k4 = k_cache if not flat else k_cache.reshape(Bc, L, KH, Dh)
+            v4 = v_cache if not flat else v_cache.reshape(Bc, L, KH, Dh)
             qd = q[:Bc].reshape(Bc, 1, KH, group, Dh)
-            sd = jnp.einsum("bskgd,blkd->bkgsl", qd, k_cache,
+            sd = jnp.einsum("bskgd,blkd->bkgsl", qd, k4,
                             preferred_element_type=jnp.float32) * scale
             pd = _soft(sd, attn_mask[:Bc])
-            ctx_d = jnp.einsum("bkgsl,blkd->bskgd", pd, v_cache,
+            ctx_d = jnp.einsum("bkgsl,blkd->bskgd", pd, v4,
                                preferred_element_type=jnp.float32)
         # chunk rows: ALL vs the joining slot's cache row.  Three engines:
         #
@@ -553,6 +579,16 @@ def _attention(
         #   einsum's S axis under the caller's per-row attn_mask rows.
         import os as _os
 
+        def _row_slice(cache, row_i, start, w):
+            """[1, w, KH, Dh] window of one cache row in either layout
+            (flat: small reshape of the w-window, not the cache)."""
+            if flat:
+                sl = jax.lax.dynamic_slice(
+                    cache, (row_i, start, 0), (1, w, KH * Dh))
+                return sl.reshape(1, w, KH, Dh)
+            return jax.lax.dynamic_slice(
+                cache, (row_i, start, 0, 0), (1, w, KH, Dh))
+
         use_band = (
             chunk.get("band") is not None
             and not cfg.attn_logit_softcap
@@ -573,12 +609,10 @@ def _attention(
                 raise NotImplementedError(
                     "the banded-kernel A/B path supports one staging pipe")
             Wn = chunk["win"]
-            k_win = jax.lax.dynamic_slice(
-                k_cache, (rows_p[0], chunk["win_start"], 0, 0),
-                (1, Wn, KH, Dh))[0]
-            v_win = jax.lax.dynamic_slice(
-                v_cache, (rows_p[0], chunk["win_start"], 0, 0),
-                (1, Wn, KH, Dh))[0]
+            k_win = _row_slice(k_cache, rows_p[0], chunk["win_start"],
+                               Wn)[0]
+            v_win = _row_slice(v_cache, rows_p[0], chunk["win_start"],
+                               Wn)[0]
             ctx_c = [flash_attention_band(
                 q[Bc:, 0], k_win, v_win, chunk["band"], sm_scale=scale
             ).astype(x.dtype).reshape(Cn, 1, H * Dh)]
@@ -620,10 +654,8 @@ def _attention(
                     def br(_):
                         s0 = jnp.clip(jnp.minimum(s0a, L - w), 0, None)
                         d = pf - s0
-                        kw = jax.lax.dynamic_slice(
-                            k_cache, (row_i, s0, 0, 0), (1, w, KH, Dh))
-                        vw = jax.lax.dynamic_slice(
-                            v_cache, (row_i, s0, 0, 0), (1, w, KH, Dh))
+                        kw = _row_slice(k_cache, row_i, s0, w)
+                        vw = _row_slice(v_cache, row_i, s0, w)
                         jj = jnp.arange(w)
                         m = ((jj[None, :] >= d)
                              & (jj[None, :] < d + hi_rel[:, None]))[None]
@@ -643,10 +675,8 @@ def _attention(
         else:
             ctx_c = []
             for p_i in range(nP):
-                k_row = jax.lax.dynamic_slice(
-                    k_cache, (rows_p[p_i], 0, 0, 0), (1, L, KH, Dh))
-                v_row = jax.lax.dynamic_slice(
-                    v_cache, (rows_p[p_i], 0, 0, 0), (1, L, KH, Dh))
+                k_row = _row_slice(k_cache, rows_p[p_i], 0, L)
+                v_row = _row_slice(v_cache, rows_p[p_i], 0, L)
                 qc = q[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0].reshape(
                     1, Cp, KH, group, Dh)
                 sc_ = jnp.einsum("bskgd,blkd->bkgsl", qc, k_row,
@@ -671,23 +701,25 @@ def _attention(
         # per decode step across the layers; the select fuses into one
         # sequential pass over the layer's cache slab.
         L = k_all.shape[2]
-        sel = (jnp.arange(L)[None, :] == cursor[:, None])[:, :, None, None]
-        k_all = k_all.at[li].set(
-            jnp.where(sel, k[:, 0][:, None].astype(k_all.dtype), k_all[li])
-        )
+        if flat:
+            sel = (jnp.arange(L)[None, :] == cursor[:, None])[:, :, None]
+            kw = k[:, 0].reshape(B, 1, KH * Dh).astype(k_all.dtype)
+            vw = v[:, 0].reshape(B, 1, KH * Dh).astype(v_all.dtype)
+        else:
+            sel = (jnp.arange(L)[None, :]
+                   == cursor[:, None])[:, :, None, None]
+            kw = k[:, 0][:, None].astype(k_all.dtype)
+            vw = v[:, 0][:, None].astype(v_all.dtype)
+        k_all = k_all.at[li].set(jnp.where(sel, kw, k_all[li]))
         v_all = v_all.at[li].set(
-            jnp.where(sel, v[:, 0][:, None].astype(v_all.dtype), v_all[li])
+            jnp.where(sel, vw, v_all[li])
         )
     else:
         # write IN PLACE into the stacked cache (XLA aliases the donated
         # carry; per-layer slice+restack forced a full cache copy every
         # decode step)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype)[None], (li, 0, cursor, 0, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype)[None], (li, 0, cursor, 0, 0)
-        )
+        k_all = _kv_write(k_all, k, 0, cursor)
+        v_all = _kv_write(v_all, v, 0, cursor)
     k_cache = k_all[li]
     v_cache = v_all[li]
 
@@ -713,6 +745,41 @@ def _attention(
         and not cfg.attn_logit_softcap
         and cfg.query_pre_attn_scalar is None
     )
+    # S==1 decode: the einsum composition lowers to a batch loop of tiny
+    # per-row matvecs on TPU (~3.3 us x rows x layers regardless of L —
+    # measured 2.4 ms of a 4.14 ms serving decode step at pool=33/L=832);
+    # the Pallas kernel streams each row's KV through VMEM, one scores dot
+    # per row via block-diagonal q, one softmax per row (1.66-1.78 ms
+    # measured, vs a 1.26 ms pure-DMA floor).  Engaged whenever the cache
+    # creator chose the kernel-native FLAT layout (flat_cache_ok).
+    # BERGEN_TPU_FLASH_DECODE: unset/"1" = on, "0" = off, "interpret" =
+    # forced interpreter (CPU parity tests).
+    _fd = os.environ.get("BERGEN_TPU_FLASH_DECODE", "1")
+    if (
+        S == 1
+        and flat
+        and flash_compatible
+        and _fd != "0"
+        and (jax.default_backend() == "tpu" or _fd == "interpret")
+    ):
+        from bergen_tpu.ops.decode_attention import decode_attention
+
+        scale_d = 1.0 / math.sqrt(Dh)
+        ctx = decode_attention(
+            q[:, 0].reshape(B, H, Dh), k_cache, v_cache, attn_mask[:, -1],
+            kv_heads=KH, sm_scale=scale_d, interpret=_fd == "interpret",
+        )
+        return (_proj(layer["attn"]["o"], ctx.reshape(B, 1, H * Dh)),
+                k_all, v_all)
+
+    if flat:
+        # fallback consumers want the 4-D view (prefill flash / einsum);
+        # on TPU this is a relayout copy — paid once per PREFILL call (the
+        # kernel handles every decode step), amortized over the generation
+        Lf = k_cache.shape[1]
+        k_cache = k_cache.reshape(B, Lf, KH, Dh)
+        v_cache = v_cache.reshape(B, Lf, KH, Dh)
+
     if _flash_enabled(S) and flash_compatible:
         # prefill (cursor==0): slot-causal + key-validity; the last query row
         # of attn_mask is exactly the key-validity vector
@@ -724,34 +791,6 @@ def _attention(
             interpret=jax.default_backend() != "tpu",
         )
         return _proj(layer["attn"]["o"], ctx.reshape(B, S, H * Dh)), k_all, v_all
-
-    # S==1 decode: the einsum composition lowers to a batch loop of tiny
-    # per-row matvecs on TPU (~3.3 us x rows x layers regardless of L —
-    # measured 2.4 ms of a 4.14 ms serving decode step at pool=33/L=832);
-    # the Pallas kernel streams each row's KV through VMEM with real MXU
-    # dots.  OPT-IN until it beats the einsum on chip (first form measured
-    # 4.29 ms/step vs 2.40 — per-row in-kernel compute, not grid overhead,
-    # binds it).  BERGEN_TPU_FLASH_DECODE: "1" = on for TPU, unset/"0" =
-    # off, "interpret" = forced interpreter (CPU parity tests).
-    _fd = os.environ.get("BERGEN_TPU_FLASH_DECODE", "0")
-    L_dec = k_cache.shape[1]
-    if (
-        S == 1
-        and flash_compatible
-        and _fd != "0"
-        and (jax.default_backend() == "tpu" or _fd == "interpret")
-        and L_dec % 16 == 0
-        and Dh % 64 == 0
-    ):
-        from bergen_tpu.ops.decode_attention import decode_attention
-
-        scale_d = 1.0 / math.sqrt(Dh)
-        ctx = decode_attention(
-            q[:, 0].reshape(B, H, Dh), k_cache, v_cache, attn_mask[:, -1],
-            sm_scale=scale_d, interpret=_fd == "interpret",
-        )
-        return (_proj(layer["attn"]["o"], ctx.reshape(B, 1, H * Dh)),
-                k_all, v_all)
 
     group = H // KH
     qg = q.reshape(B, S, KH, group, Dh)

@@ -45,7 +45,7 @@ class RepLlama(Retriever):
 
         def _encode(params, input_ids, attention_mask, eos_index):
             B, S = input_ids.shape
-            cache = llama.init_cache(cfg, B, S, dtype=self.dtype)
+            cache = llama.init_cache(cfg, B, S, dtype=self.dtype, flat=False)
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
             causal = jnp.tril(jnp.ones((S, S), bool))
             mask = causal[None] & attention_mask[:, None, :].astype(bool)

@@ -1,25 +1,43 @@
 """Batched GQA decode attention over slot-pool KV caches (Pallas, TPU).
 
 The decode einsum composition (scores einsum -> masked softmax -> context
-einsum over a ``[B, L, KH, Dh]`` cache) lowers to a batch LOOP of tiny
+einsum over the KV cache) lowers to a batch LOOP of tiny
 ``[group, Dh] x [Dh, L]`` matmuls on TPU: measured on chip it costs ~3.3 us
 per (row, layer) REGARDLESS of L (2.40 ms/step at pool=33/L=832 across 22
 TinyLlama layers; halving L to 416 only reached 2.02 ms, while halving the
-layer count halved the time exactly) — per-row dispatch latency, not
-bandwidth, binds it.  At ~31% of HBM roofline that one op was 58% of the
-whole serving decode step.
+layer count halved the time exactly).  At ~31% of HBM roofline that one op
+was 58% of the whole serving decode step.
 
-This kernel restores the bandwidth bound: grid over pool rows, each program
-DMAs its row's full keys+values (``[L, KH*Dh]`` — e.g. 426 KB at L=832) into
-VMEM double-buffered across grid steps, computes all KV-heads' scores with
-proper MXU dots, and keeps the f32 score matrix entirely in VMEM.  Per-row
-key-validity masks (the serving drains' ring-cache masks) ride along as an
-``[B, L]`` int8 operand.
+This kernel gets back within 1.3x of the pure-DMA floor (measured 1.26 ms
+to stream the same 619 MB of KV through VMEM) via three on-chip-ablated
+choices:
+
+* **flat cache layout** ``[B, L, KH*Dh]``: XLA lays the 4-D
+  ``[B, L, KH, Dh]`` cache out L-minor (``{2,4,3,1,0:T(8,128)}``), so a
+  4D->3D reshape at the call site is a physical TRANSPOSE of the whole
+  cache — it alone cost 1.9 ms/step.  Callers keep the cache flat (see
+  ``models/llama.py``) and the kernel blocks it natively.
+* **block-diagonal q**: all KV heads' scores come from ONE
+  ``[H, KH*Dh] x [KH*Dh, L]`` MXU dot per row (q head h is nonzero only in
+  its own head's Dh lanes, so cross-head lanes contribute zero); the
+  context dot is the mirror image, with the per-head 64-lane blocks summed
+  back out by static lane slices.  Per-(row, khead) dots measured 2.40
+  ms/step; this form + batched softmax measured 1.66-1.78.
+* **one softmax per row** over the ``[H, L]`` score block (softmax split
+  per KV head cost +0.64 ms/step).
+
+Grid iterates pool rows (``rows_per_block`` at a time, double-buffered);
+the f32 score matrix never touches HBM.  Per-row key-validity masks (the
+serving drains' ring-cache masks) ride along as an ``[B, L]`` int8 operand.
 
 Replaces the hot path of the reference's vLLM/flash-attn decode step
 (``models/generators/vllm.py:48-59``, ``models/generators/llm.py:51-52``)
 with a TPU-native design; used by every S==1 decode in ``models/llama.py``
 (uniform generate, epoch drain, chunked drain decode rows).
+
+TP note: under a model-parallel mesh the cache's KH*Dh axis is sharded;
+the kernel is only engaged on single-chip decode paths (the multichip
+contract runs the einsum fallback), pending a shard_map wrapping.
 """
 
 from __future__ import annotations
@@ -38,76 +56,90 @@ NEG_INF = -1e30
 def _decode_kernel(q_ref, kv_ref, vv_ref, valid_ref, o_ref, *,
                    rows: int, kv_heads: int, group: int, head_dim: int,
                    sm_scale: float):
-    """One program = ``rows`` pool rows: scores/softmax/context for all
-    heads of each row.
-
-    Shapes in VMEM: q [rows, H, Dh], k/v [rows, L, KH*Dh], valid
-    [rows, 1, L], out [rows, H, Dh].  The python loops over rows and KV
-    heads are static (rows x KH dots of [group, Dh] x [Dh, L] — real MXU
-    work, no data-dependent batch loop); multiple rows per program
-    amortize the fixed grid-step cost (measured ~6 us/program at rows=1).
-    """
+    """``rows`` pool rows per program; see module docstring for the
+    block-diagonal construction."""
+    H = kv_heads * group
+    KHD = kv_heads * head_dim
     for r in range(rows):
         # keep rank >= 2 (Mosaic rejects 1-D intermediates) and compare in
         # i32 (the target has no i8 vector compare)
-        ok = valid_ref[r, :, :].astype(jnp.int32) > 0  # [1, L]
-        for h in range(kv_heads):
-            qh = q_ref[r, h * group:(h + 1) * group, :]          # [g, Dh]
-            kh = kv_ref[r, :, h * head_dim:(h + 1) * head_dim]   # [L, Dh]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                                          # [g, L]
-            s = jnp.where(ok, s, NEG_INF)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            p = (p / jnp.maximum(l, 1e-30)).astype(vv_ref.dtype)
-            vh = vv_ref[r, :, h * head_dim:(h + 1) * head_dim]   # [L, Dh]
-            ctx = jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                     # [g, Dh]
-            o_ref[r, h * group:(h + 1) * group, :] = ctx.astype(o_ref.dtype)
+        ok = valid_ref[r, :, :].astype(jnp.int32) > 0        # [1, L]
+        qfull = q_ref[r, :, :]                               # [H, Dh]
+        if kv_heads > 1:
+            ii = jax.lax.broadcasted_iota(jnp.int32, (H, KHD), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (H, KHD), 1)
+            own = (jj // head_dim) == (ii // group)
+            qblk = jnp.where(own, jnp.tile(qfull, (1, kv_heads)),
+                             jnp.zeros((), qfull.dtype))     # [H, KHD]
+        else:
+            qblk = qfull
+        s = jax.lax.dot_general(
+            qblk, kv_ref[r, :, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                          # [H, L]
+        s = jnp.where(ok, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / jnp.maximum(l, 1e-30)).astype(vv_ref.dtype)
+        ctx_full = jax.lax.dot_general(
+            p, vv_ref[r, :, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [H, KHD]
+        if kv_heads > 1:
+            ctx_full = jnp.where(own, ctx_full, 0.0)
+            acc = ctx_full[:, 0:head_dim]
+            for h in range(1, kv_heads):
+                acc = acc + ctx_full[:, h * head_dim:(h + 1) * head_dim]
+        else:
+            acc = ctx_full
+        o_ref[r, :, :] = acc.astype(o_ref.dtype)
 
 
 def _rows_per_block(B: int, L: int, KHD: int) -> int:
     """Largest row block whose double-buffered K+V fits comfortably in
-    VMEM (~16 MB/core), bounded by the padding waste on the last block."""
+    VMEM (~16 MB/core), preferring exact divisors of B (no padded rows)."""
     env = os.environ.get("BERGEN_TPU_DECODE_ROWS")
     if env:
         return max(1, int(env))
     per_row = L * KHD * 2 * 2 * 2  # K+V, bf16, double-buffered
-    best = 1
-    for r in (8, 6, 4, 3, 2):
-        if r * per_row <= 10 * 2 ** 20 and (-B % r) <= r:
-            best = r
-            break
-    return best
+    fit = [r for r in range(1, 9) if r * per_row <= 10 * 2 ** 20]
+    if not fit:
+        return 1
+    divisors = [r for r in fit if B % r == 0]
+    return max(divisors) if divisors else max(fit)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("kv_heads", "sm_scale", "interpret"))
 def decode_attention(
     q: jnp.ndarray,        # [B, H, Dh]
-    k_cache: jnp.ndarray,  # [B, L, KH, Dh]
-    v_cache: jnp.ndarray,  # [B, L, KH, Dh]
+    k_cache: jnp.ndarray,  # [B, L, KH*Dh] flat (or [B, L, KH, Dh])
+    v_cache: jnp.ndarray,  # same layout as k_cache
     k_valid: jnp.ndarray,  # [B, L] bool/int — 1 = attendable
     *,
+    kv_heads: int | None = None,
     sm_scale: float,
     interpret: bool = False,
 ) -> jnp.ndarray:          # [B, H, Dh] in q.dtype
     B, H, Dh = q.shape
-    _, L, KH, _ = k_cache.shape
+    if k_cache.ndim == 4:
+        # 4-D callers (tests / ad-hoc): on TPU this reshape is a physical
+        # transpose — production paths keep the cache flat
+        KH = k_cache.shape[2]
+        k_cache = k_cache.reshape(B, k_cache.shape[1], KH * Dh)
+        v_cache = v_cache.reshape(B, v_cache.shape[1], KH * Dh)
+    else:
+        KH = kv_heads if kv_heads is not None else k_cache.shape[2] // Dh
+    L = k_cache.shape[1]
     group = H // KH
-    # free reshape: [L, KH, Dh] rows are contiguous, so [L, KH*Dh] keeps the
-    # (sublane=L, lane=KH*Dh) layout MXU-friendly without a copy
-    kf = k_cache.reshape(B, L, KH * Dh)
-    vf = v_cache.reshape(B, L, KH * Dh)
     # [B, 1, L]: a (1, 1, L) block satisfies the TPU block-shape rule (the
     # last two dims equal the array's own)
     valid = k_valid.astype(jnp.int8).reshape(B, 1, L)
-    Rb = _rows_per_block(B, L, KH * Dh)
+    KHD = KH * Dh
+    Rb = _rows_per_block(B, L, KHD)
     Bp = -(-B // Rb) * Rb
+    kf, vf = k_cache, v_cache
     if Bp != B:
         pad = [(0, Bp - B)] + [(0, 0)] * 2
         q, kf, vf = (jnp.pad(a, pad) for a in (q, kf, vf))
@@ -121,8 +153,8 @@ def decode_attention(
         grid=(Bp // Rb,),
         in_specs=[
             pl.BlockSpec((Rb, H, Dh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((Rb, L, KH * Dh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((Rb, L, KH * Dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Rb, L, KHD), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Rb, L, KHD), lambda i: (i, 0, 0)),
             pl.BlockSpec((Rb, 1, L), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((Rb, H, Dh), lambda i: (i, 0, 0)),
@@ -135,13 +167,20 @@ def decode_attention(
     return out[:B]
 
 
-def supports(cfg_like, S: int, L: int) -> bool:
-    """Static gate mirrored by the einsum fallback in models/llama.py:
-    plain scaled-dot GQA decode only (no softcap / query-scale / sliding),
-    cache length aligned to the bf16 sublane tile."""
+def flat_cache_ok(cfg_like, L: int | None = None) -> bool:
+    """Should a decode cache be allocated in the flat [B, L, KH*Dh] layout
+    (kernel-native)?  Mirrors the runtime gate in models/llama.py: plain
+    scaled-dot GQA only, and a kernel-capable backend."""
+    fd = os.environ.get("BERGEN_TPU_FLASH_DECODE", "1")
+    if fd == "0":
+        return False
+    if not (jax.default_backend() == "tpu" or fd == "interpret"):
+        return False
     return (
-        S == 1
-        and L % 16 == 0
-        and not getattr(cfg_like, "attn_logit_softcap", None)
+        not getattr(cfg_like, "attn_logit_softcap", None)
         and getattr(cfg_like, "query_pre_attn_scalar", None) is None
+        and not (getattr(cfg_like, "post_norms", False)
+                 and getattr(cfg_like, "sliding_window", None))
+        and getattr(cfg_like, "head_dim", 64) % 64 == 0
+        and (L is None or L % 16 == 0)
     )

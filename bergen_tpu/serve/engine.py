@@ -136,7 +136,8 @@ class GenerationServer:
                     P, B):
             """Prefill a same-bucket batch [B, P] and write each row's K/V
             into its slot's region.  Returns (k_cache, v_cache, next [B])."""
-            cache = llama.init_cache(cfg_, B, P, dtype=self.dtype)
+            cache = llama.init_cache(cfg_, B, P, dtype=self.dtype,
+                                      flat=False)
             am = (jnp.arange(P)[None, :] < valid_len[:, None]).astype(jnp.int32)
             positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
             causal = jnp.tril(jnp.ones((P, P), bool))
@@ -349,7 +350,8 @@ class GenerationServer:
                 positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)
                 causal = jnp.tril(jnp.ones((Pb, Pb), bool))
                 mask = causal[None] & am[:, None, :].astype(bool)
-                cache = llama.init_cache(cfg_, Ag, Pb, dtype=dtype)
+                cache = llama.init_cache(cfg_, Ag, Pb, dtype=dtype,
+                                          flat=False)
                 logits, tmp = llama.forward(
                     params, cfg_, ids, positions, cache, mask
                 )
@@ -623,6 +625,17 @@ class GenerationServer:
         WIN = min(Lc, -(-(Pmax + CHUNK) // 128) * 128 + 128)
 
         kv_sharding = self._kv_sharding
+        # FLAT [NL, pool, Lc, KH*DH] cache when the decode-attention kernel
+        # serves this config (single-chip): the kernel's native layout —
+        # the 4-D form is stored L-minor by XLA, a transpose away
+        from bergen_tpu.ops.decode_attention import flat_cache_ok
+
+        flat = flat_cache_ok(cfg_, Lc) and kv_sharding is None
+        kv_shape = ((NL, pool, Lc, KH * DH) if flat
+                    else (NL, pool, Lc, KH, DH))
+        kv_zeros = (0, 0, 0, 0) if flat else (0, 0, 0, 0, 0)
+        kv_keep = ((NL, pool, KEEP, KH * DH) if flat
+                   else (NL, pool, KEEP, KH, DH))
 
         def _constrain(x):
             if kv_sharding is None:
@@ -636,15 +649,13 @@ class GenerationServer:
             g = st["g"]
             s0 = jnp.maximum(g - KEEP, 0)
             kwin = jax.lax.dynamic_slice(
-                st["k"], (0, 0, s0, 0, 0), (NL, pool, KEEP, KH, DH)
+                st["k"], (0, 0, s0, 0) if flat else (0, 0, s0, 0, 0), kv_keep
             )
             vwin = jax.lax.dynamic_slice(
-                st["v"], (0, 0, s0, 0, 0), (NL, pool, KEEP, KH, DH)
+                st["v"], (0, 0, s0, 0) if flat else (0, 0, s0, 0, 0), kv_keep
             )
-            st["k"] = jax.lax.dynamic_update_slice(
-                st["k"], kwin, (0, 0, 0, 0, 0))
-            st["v"] = jax.lax.dynamic_update_slice(
-                st["v"], vwin, (0, 0, 0, 0, 0))
+            st["k"] = jax.lax.dynamic_update_slice(st["k"], kwin, kv_zeros)
+            st["v"] = jax.lax.dynamic_update_slice(st["v"], vwin, kv_zeros)
             valw = jax.lax.dynamic_slice(st["valid"], (0, s0), (pool, KEEP))
             st["valid"] = jnp.zeros_like(st["valid"]).at[:, :KEEP].set(valw)
             st["g"] = g - s0
@@ -653,8 +664,8 @@ class GenerationServer:
 
         def run(params, prompts, plens, max_news, order, rng):
             st = {
-                "k": _constrain(jnp.zeros((NL, pool, Lc, KH, DH), dtype)),
-                "v": _constrain(jnp.zeros((NL, pool, Lc, KH, DH), dtype)),
+                "k": _constrain(jnp.zeros(kv_shape, dtype)),
+                "v": _constrain(jnp.zeros(kv_shape, dtype)),
                 "g": jnp.int32(Pmax),
                 "valid": jnp.zeros((pool, Lc), bool),
                 "tok_pos": jnp.zeros((pool,), jnp.int32),

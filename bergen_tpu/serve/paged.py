@@ -118,7 +118,7 @@ class PagedGenerationServer(GenerationServer):
             """LEFT-padded same-bucket batch [B, P] (P a PAGE multiple):
             prompt K/V fill ``P // PAGE`` whole pages per row, scattered to
             ``page_dst [B, P//PAGE]`` pool pages.  Returns (pools, next)."""
-            cache = llama.init_cache(cfg_, B, P, dtype=dtype)
+            cache = llama.init_cache(cfg_, B, P, dtype=dtype, flat=False)
             am = (jnp.arange(P)[None, :] >= P - valid_len[:, None]).astype(
                 jnp.int32)
             positions = jnp.maximum(jnp.cumsum(am, axis=1) - 1, 0)

@@ -32,7 +32,7 @@ def causal_lm_loss(
     equivalent of HF's gradient_checkpointing=True in the reference's
     Trainer path)."""
     B, S = input_ids.shape
-    cache = llama.init_cache(cfg, B, S, dtype=jnp.float32)
+    cache = llama.init_cache(cfg, B, S, dtype=jnp.float32, flat=False)
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = causal[None] & attention_mask[:, None, :].astype(bool)
