@@ -8,6 +8,8 @@ the batch sharded over the mesh ``data`` axis; batches are length-bucketed."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,7 +53,8 @@ class CrossEncoder:
 
         # architecture dispatch: deberta-v2/v3 (the reference's default
         # reranker family) vs BERT-alikes
-        if getattr(hf_cfg, "model_type", "") == "deberta-v2":
+        self._deberta = getattr(hf_cfg, "model_type", "") == "deberta-v2"
+        if self._deberta:
             from bergen_tpu.models import deberta
 
             self.cfg = deberta.DebertaConfig.from_hf(hf_cfg)
@@ -81,14 +84,53 @@ class CrossEncoder:
         self.mesh = get_mesh()
         self.buckets = make_buckets(max_len)
         cfg = self.cfg
+        # DeBERTa position tables (deberta.build_pos_tables): cached per
+        # length bucket, replacing the per-batch one-hot regather with one
+        # direct einsum per c2p/p2c term.  HBM cost is
+        # 2 * layers * S^2 * D bf16 bytes per bucket, so building is gated
+        # by a budget (default 2,600 MB total — covers debertav3-base
+        # through S=256; larger buckets ride the regather path).
+        self._pos_tables: dict[int, object] = {}
+        self._table_budget = int(os.environ.get(
+            "BERGEN_TPU_DEBERTA_TABLE_MB", "2600")) << 20
+        self._table_spent = 0
 
-        @jax.jit
-        def score(params, input_ids, attention_mask, token_type_ids):
-            logits = classify(params, cfg, input_ids, attention_mask,
-                              token_type_ids)
-            return logits[:, 0].astype(jnp.float32)
+        if self._deberta:
+            @jax.jit
+            def score(params, input_ids, attention_mask, token_type_ids,
+                      pos_tables=None):
+                logits = classify(params, cfg, input_ids, attention_mask,
+                                  token_type_ids, pos_tables=pos_tables)
+                return logits[:, 0].astype(jnp.float32)
+        else:
+            @jax.jit
+            def score(params, input_ids, attention_mask, token_type_ids,
+                      pos_tables=None):
+                logits = classify(params, cfg, input_ids, attention_mask,
+                                  token_type_ids)
+                return logits[:, 0].astype(jnp.float32)
 
         self._score = score
+
+    def _tables_for(self, bucket: int):
+        """Per-bucket cached DeBERTa position tables, budget-gated."""
+        if not self._deberta or not self.cfg.pos_att_type:
+            return None
+        if bucket in self._pos_tables:
+            return self._pos_tables[bucket]
+        from bergen_tpu.models import deberta
+
+        n_terms = len(self.cfg.pos_att_type)
+        itemsize = 2  # bf16/f16-class params; f32 doubles this, still ~right
+        need = (n_terms * self.cfg.num_layers * bucket * bucket
+                * self.cfg.hidden_size * itemsize)
+        if self._table_spent + need > self._table_budget:
+            self._pos_tables[bucket] = None
+            return None
+        tabs = deberta.build_pos_tables(self.params, self.cfg, bucket)
+        self._pos_tables[bucket] = tabs
+        self._table_spent += need
+        return tabs
 
     def score_pairs(self, queries: list[str], docs: list[str]) -> np.ndarray:
         enc = self.tokenizer(
@@ -121,7 +163,8 @@ class CrossEncoder:
         tt = jax.device_put(jnp.asarray(tt), sharding)
         if self._w8a8_guard_pending:
             self._w8a8_check(ii, am, tt, n)
-        out = self._score(self.score_params, ii, am, tt)
+        out = self._score(self.score_params, ii, am, tt,
+                          self._tables_for(bucket))
         return np.asarray(out)[:n]
 
     def _w8a8_check(self, ii, am, tt, n: int) -> None:

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--fused", choices=("auto", "on", "off"), default="auto",
                     help="whole-layer prebias kernel: auto = TPU default")
+    ap.add_argument("--tables", choices=("on", "off"), default="on",
+                    help="cached position tables (build_pos_tables): the "
+                    "round-5 direct-einsum bias path vs the one-hot regather")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -88,12 +91,14 @@ def main():
     params = rand_params()
     ids = jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32)
     am = jnp.ones((B, S), jnp.int32)
+    tables = (deberta.build_pos_tables(params, cfg, S)
+              if args.tables == "on" else None)
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(p, ii, n):
+    def chained(p, tabs, ii, n):
         def body(_, carry):
             acc, cur = carry
-            logits = deberta.classify(p, cfg, cur, am)
+            logits = deberta.classify(p, cfg, cur, am, pos_tables=tabs)
             t = logits[0, 0].astype(jnp.float32)
             return acc + t, (cur + (t * 1e30).astype(jnp.int32)) % 1000 + 3
 
@@ -101,7 +106,8 @@ def main():
         return acc
 
     n_iters = 9 if on_tpu else 2
-    dt = _timed_chained(lambda n: float(chained(params, ids, n)), n_iters)
+    dt = _timed_chained(
+        lambda n: float(chained(params, tables, ids, n)), n_iters)
     pairs_per_sec = B / dt
     # roofline context: ~2*P*tokens FLOPs, P ~= 86M encoder params + pos
     flops = 2 * 86e6 * B * S * 3  # fwd ~2PT, disentangled ~+? — report raw
@@ -109,6 +115,7 @@ def main():
         "pairs_per_sec": round(pairs_per_sec, 1),
         "batch": B, "seq": S,
         "fused": deberta._use_fused_layers(cfg, B, S),
+        "tables": args.tables == "on",
         "ms_per_batch": round(dt * 1000, 2),
         "backend": jax.default_backend(),
     }

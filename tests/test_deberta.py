@@ -70,6 +70,36 @@ def test_classification_parity(tiny_deberta):
     np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
 
 
+def test_pos_tables_parity(tiny_deberta):
+    """The cached position-table path (build_pos_tables + direct einsum)
+    must match both the regather path and HF: same products, same f32
+    accumulation — only the batch-scaled regather is gone."""
+    model, cfg, params = tiny_deberta
+    rng = np.random.default_rng(2)
+    S = 18
+    ids = rng.integers(3, 120, (2, S)).astype(np.int32)
+    am = np.ones((2, S), np.int32)
+    am[1, 14:] = 0
+    tabs = deberta.build_pos_tables(params, cfg, S)
+    assert tabs is not None and len(tabs) == cfg.num_layers
+    c2p_tab, p2c_tab = tabs[0]
+    H = cfg.num_heads
+    assert c2p_tab.shape == (S, S, H, cfg.hidden_size // H)
+    out_tab = np.asarray(deberta.encode(
+        params, cfg, jnp.asarray(ids), jnp.asarray(am), pos_tables=tabs))
+    out_ref = np.asarray(deberta.encode(
+        params, cfg, jnp.asarray(ids), jnp.asarray(am)))
+    valid = am.astype(bool)
+    np.testing.assert_allclose(out_tab[valid], out_ref[valid],
+                               atol=1e-5, rtol=1e-5)
+    with torch.no_grad():
+        hf = model.deberta(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(am)
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(out_tab[valid], hf[valid],
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_crossencoder_with_deberta(tmp_path):
     """CrossEncoder auto-detects the DeBERTa architecture."""
     from transformers import DebertaV2Config, DebertaV2ForSequenceClassification
