@@ -357,13 +357,14 @@ def bench_serving(on_tpu):
         params, cfg, eos_token_id=-1, pad_token_id=0, max_slots=SLOTS,
         max_len=PMAX + int(max_news.max()) + 1, prompt_buckets=buckets,
     )
-    # round-5: the CHUNKED drain is the shipped default (prompt chunks ride
-    # the decode forward's weight reads instead of standalone prefill
-    # branches stalling every active slot) — this is the same runner
-    # run_workload(mode="auto") dispatches to
-    runner, args = server.plan_workload_chunked(
-        prompts, list(map(int, max_news)))
-    (_, pr_d, pl_d, mn_d, ord_d, key0) = args
+    # round-5: the EPOCH drain (batched admission + ring KV + the flat-cache
+    # decode-attention kernel) is the measured default — the chunked-prefill
+    # drain was built and diagnosed (scripts/diag_chunked.py): occupancy
+    # matched (184 vs 183 iters) but carrying the prompt-chunk rows on every
+    # decode forward cost more per step than the epoch's batched prefill
+    # stalls at these dims.  run_workload(mode="auto") dispatches here.
+    runner, args = server.plan_workload(prompts, list(map(int, max_news)))
+    (_, pr_d, pl_d, mn_d, grq_d, grc_d, grb_d, bud_d, key0) = args
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained_srv(p, key, n):
@@ -372,7 +373,8 @@ def bench_serving(on_tpu):
             # the drain ignores its rng key, so an rng-only chain lets XLA
             # CSE all n drains into one
             acc, cur_pr = carry
-            out, n_out, _ = runner(p, cur_pr, pl_d, mn_d, ord_d, key)
+            out, n_out, _ = runner(p, cur_pr, pl_d, mn_d, grq_d, grc_d,
+                                   grb_d, bud_d, key)
             t = jnp.sum(out[0, :4]).astype(jnp.float32)
             return acc + t, cur_pr + (t * 1e-30).astype(jnp.int32)
         acc, _ = jax.lax.fori_loop(

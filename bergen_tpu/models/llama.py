@@ -624,54 +624,61 @@ def _attention(
             nv_p = jnp.atleast_1d(chunk["nv"])
             base_p = jnp.atleast_1d(chunk["win_start"])
             ci = jnp.arange(Cp)
-            ctx_c = []
-            for p_i in range(nP):
-                pf = base_p[p_i]             # staging base (dynamic)
-                off = off_p[p_i]             # tokens already staged
-                nv = nv_p[p_i]
-                # per-row visible-key count relative to the staging base;
-                # rows past nv clamp to the last valid row's bound (garbage
-                # rows — outputs unused, but hi >= 1 keeps softmax finite)
-                hi_rel = off + jnp.minimum(ci, jnp.maximum(nv - 1, 0)) + 1
-                qc = q[Bc + p_i * Cp:Bc + (p_i + 1) * Cp, 0].reshape(
-                    1, Cp, KH, group, Dh)
-                # window start aligns DOWN to the 128-block holding the
-                # staging base, so the in-window offset d0 < WBLK is known
-                # when picking the branch.  If a branch must clamp
-                # (s0a > L - w), the extra shift still fits because
-                # pf + off + Cp <= L - 1 implies d + off + Cp <= w - 1 at
-                # s0 = L - w.
-                d0 = pf % WBLK
-                s0a = pf - d0
-                idx = jnp.clip(
-                    (d0 + off + Cp + WBLK - 1) // WBLK - 1, 0, nb - 1)
-                row_i = rows_p[p_i]
+            # ALL pipes ride ONE switch and ONE batched einsum pair
+            # (round-5 on-chip diag: per-pipe switches made the second pipe
+            # cost ~4.7 ms/step — 9.41 ms at P=2 vs 4.75 at P=1 — where the
+            # attention math itself is ~0.7 ms; P separate switch/einsum
+            # regions defeated XLA's scheduling).  The branch index is the
+            # MAX over pipes' needs: a pipe with a smaller staged prefix
+            # reads a larger window than it needs, masked off per row.
+            # per-row visible-key counts relative to each staging base;
+            # rows past nv clamp to the last valid row's bound (garbage
+            # rows — outputs unused, but hi >= 1 keeps softmax finite)
+            hi_rel = (off_p[:, None]
+                      + jnp.minimum(ci[None, :],
+                                    jnp.maximum(nv_p - 1, 0)[:, None])
+                      + 1)                                   # [P, Cp]
+            qcs = q[Bc:, 0].reshape(nP, Cp, KH, group, Dh)
+            # window start aligns DOWN to the 128-block holding the
+            # staging base, so the in-window offset d0 < WBLK is known
+            # when picking the branch.  If a branch must clamp
+            # (s0a > L - w), the extra shift still fits because
+            # pf + off + Cp <= L - 1 implies d + off + Cp <= w - 1 at
+            # s0 = L - w; a larger-than-needed w only shrinks/keeps d.
+            d0_p = base_p % WBLK
+            s0a_p = base_p - d0_p
+            idx = jnp.clip(jnp.max(
+                (d0_p + off_p + Cp + WBLK - 1) // WBLK - 1), 0, nb - 1)
 
-                def _mk(j, pf=pf, s0a=s0a, hi_rel=hi_rel, qc=qc,
-                        row_i=row_i):
-                    w = (j + 1) * WBLK
+            def _mk(j):
+                w = (j + 1) * WBLK
 
-                    def br(_):
-                        s0 = jnp.clip(jnp.minimum(s0a, L - w), 0, None)
-                        d = pf - s0
-                        kw = _row_slice(k_cache, row_i, s0, w)
-                        vw = _row_slice(v_cache, row_i, s0, w)
+                def br(_):
+                    kws, vws, ms = [], [], []
+                    for p_i in range(nP):
+                        s0 = jnp.clip(
+                            jnp.minimum(s0a_p[p_i], L - w), 0, None)
+                        d = base_p[p_i] - s0
+                        kws.append(_row_slice(k_cache, rows_p[p_i], s0, w))
+                        vws.append(_row_slice(v_cache, rows_p[p_i], s0, w))
                         jj = jnp.arange(w)
-                        m = ((jj[None, :] >= d)
-                             & (jj[None, :] < d + hi_rel[:, None]))[None]
-                        sc = jnp.einsum(
-                            "bskgd,blkd->bkgsl", qc, kw,
-                            preferred_element_type=jnp.float32) * scale
-                        p = _soft(sc, m)
-                        return jnp.einsum(
-                            "bkgsl,blkd->bskgd", p, vw,
-                            preferred_element_type=jnp.float32,
-                        ).astype(x.dtype).reshape(Cp, 1, H * Dh)
+                        ms.append((jj[None, :] >= d)
+                                  & (jj[None, :] < d + hi_rel[p_i][:, None]))
+                    kw = jnp.concatenate(kws, axis=0)        # [P, w, KH, Dh]
+                    vw = jnp.concatenate(vws, axis=0)
+                    m = jnp.stack(ms, axis=0)                # [P, Cp, w]
+                    sc = jnp.einsum(
+                        "pskgd,plkd->pkgsl", qcs, kw,
+                        preferred_element_type=jnp.float32) * scale
+                    pr = _soft(sc, m)
+                    return jnp.einsum(
+                        "pkgsl,plkd->pskgd", pr, vw,
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype).reshape(Cn, 1, H * Dh)
 
-                    return br
+                return br
 
-                ctx_c.append(jax.lax.switch(
-                    idx, [_mk(j) for j in range(nb)], None))
+            ctx_c = [jax.lax.switch(idx, [_mk(j) for j in range(nb)], None)]
         else:
             ctx_c = []
             for p_i in range(nP):

@@ -323,6 +323,21 @@ class GenerationServer:
         temp_, top_p_ = self.temperature, self.top_p
         dtype = self.dtype
         NL, KH, DH = cfg_.num_layers, cfg_.num_kv_heads, cfg_.head_dim
+        # FLAT [NL, pool, Lc, KH*DH] cache when the decode-attention kernel
+        # serves this config (single chip, plain GQA): the kernel's native
+        # layout — round 5 measured the kernel at 1.66-1.78 ms/step vs the
+        # einsum's 2.40 at pool=33/L=832, and this drain's inner decode loop
+        # is where the mixed-load bench spends its time.  Prefill branches
+        # still run their own 4-D tmp caches (the S>1 prefill path) and
+        # reshape the slices they write here (tiny: [NL, 1, Pb, KH*DH]).
+        from bergen_tpu.ops.decode_attention import flat_cache_ok
+
+        flat = flat_cache_ok(cfg_, Lc) and self._kv_sharding is None
+        kv_shape = ((NL, S + 1, Lc, KH * DH) if flat
+                    else (NL, S + 1, Lc, KH, DH))
+        kv_zeros = (0, 0, 0, 0) if flat else (0, 0, 0, 0, 0)
+        kv_keep = ((NL, S + 1, KEEP, KH * DH) if flat
+                   else (NL, S + 1, KEEP, KH, DH))
 
         def make_prefill_branch(Pb, Ag):
             def branch(st, params, prompts, rng):
@@ -357,15 +372,22 @@ class GenerationServer:
                 )
                 # each row's prompt region lands at [g - Pb, g) of its
                 # slot's cache row (contiguous writes; left-pad K/V rows
-                # are masked out via `valid`)
+                # are masked out via `valid`).  tmp is the prefill's own
+                # 4-D cache; flat st caches take a reshaped (tiny) slice.
+                def _slice_r(t, r):
+                    s = t[:, r:r + 1].astype(dtype)
+                    return s.reshape(NL, 1, Pb, KH * DH) if flat else s
+
                 for r in range(Ag):
                     st["k"] = jax.lax.dynamic_update_slice(
-                        st["k"], tmp["k"][:, r:r + 1].astype(dtype),
-                        (0, slots[r], g - Pb, 0, 0),
+                        st["k"], _slice_r(tmp["k"], r),
+                        (0, slots[r], g - Pb, 0) if flat
+                        else (0, slots[r], g - Pb, 0, 0),
                     )
                     st["v"] = jax.lax.dynamic_update_slice(
-                        st["v"], tmp["v"][:, r:r + 1].astype(dtype),
-                        (0, slots[r], g - Pb, 0, 0),
+                        st["v"], _slice_r(tmp["v"], r),
+                        (0, slots[r], g - Pb, 0) if flat
+                        else (0, slots[r], g - Pb, 0, 0),
                     )
                 pos_idx = jnp.arange(Lc)
                 row_valid = (pos_idx[None, :] >= (g - vl)[:, None]) & (
@@ -406,15 +428,13 @@ class GenerationServer:
             g = st["g"]
             s0 = jnp.maximum(g - KEEP, 0)
             kwin = jax.lax.dynamic_slice(
-                st["k"], (0, 0, s0, 0, 0), (NL, S + 1, KEEP, KH, DH)
+                st["k"], (0, 0, s0, 0) if flat else (0, 0, s0, 0, 0), kv_keep
             )
             vwin = jax.lax.dynamic_slice(
-                st["v"], (0, 0, s0, 0, 0), (NL, S + 1, KEEP, KH, DH)
+                st["v"], (0, 0, s0, 0) if flat else (0, 0, s0, 0, 0), kv_keep
             )
-            st["k"] = jax.lax.dynamic_update_slice(
-                st["k"], kwin, (0, 0, 0, 0, 0))
-            st["v"] = jax.lax.dynamic_update_slice(
-                st["v"], vwin, (0, 0, 0, 0, 0))
+            st["k"] = jax.lax.dynamic_update_slice(st["k"], kwin, kv_zeros)
+            st["v"] = jax.lax.dynamic_update_slice(st["v"], vwin, kv_zeros)
             valw = jax.lax.dynamic_slice(
                 st["valid"], (0, s0), (S + 1, KEEP)
             )
@@ -440,8 +460,8 @@ class GenerationServer:
                 grp_bpos, budget, rng):
             st = {
                 "max_news": max_news,
-                "k": _constrain(jnp.zeros((NL, S + 1, Lc, KH, DH), dtype)),
-                "v": _constrain(jnp.zeros((NL, S + 1, Lc, KH, DH), dtype)),
+                "k": _constrain(jnp.zeros(kv_shape, dtype)),
+                "v": _constrain(jnp.zeros(kv_shape, dtype)),
                 "g": jnp.int32(Pmax),        # shared global cache cursor
                 "valid": jnp.zeros((S + 1, Lc), bool),
                 "tok_pos": jnp.zeros((S + 1,), jnp.int32),  # logical RoPE pos
@@ -1006,15 +1026,17 @@ class GenerationServer:
         request's own limit — the continuous-batching win).  Returns
         generated token lists in submission order.
 
-        ``mode``: ``"chunked"`` fuses prompt prefill into the decode steps
-        (chunk rows ride the decode forward's weight reads — the
-        high-throughput default); ``"epoch"`` is the batched-admission
-        branch drain (required for gemma-2 sliding-window layers, whose
-        slot-distance masks the fused chunk path does not implement);
-        ``"auto"`` picks per model family."""
+        ``mode``: ``"epoch"`` is the batched-admission branch drain — the
+        measured default (round-5 on-chip diag, scripts/diag_chunked.py:
+        epoch 4,669 tok/s vs the best chunked variant's 4,196 on the mixed
+        bench at TinyLlama dims — carrying pipes*CHUNK prompt rows on every
+        decode forward costs more per step than the epoch's batched
+        prefill stalls, because 128-256 extra rows push the step off the
+        weight-read bound).  ``"chunked"`` fuses prompt chunks into the
+        decode steps (token-exact, kept for dims/mixes where prefill
+        stalls dominate); ``"auto"`` = epoch."""
         if mode == "auto":
-            sliding = bool(self.cfg.post_norms and self.cfg.sliding_window)
-            mode = "epoch" if sliding else "chunked"
+            mode = "epoch"
         if mode == "chunked":
             runner, args = self.plan_workload_chunked(
                 prompt_ids_list, max_new_tokens, chunk_size=chunk_size,

@@ -266,3 +266,36 @@ def test_chunked_drain_matches_epoch_and_reference(cfg_params):
     ref = batch_reference(cfg, params, prompts, max(max_new))
     for i, (r, m) in enumerate(zip(ref, max_new)):
         assert [int(t) for t in epoch[i]] == [int(t) for t in r][:m], i
+
+
+def test_epoch_drain_flat_kernel_matches(monkeypatch):
+    """The epoch drain with the FLAT cache + decode-attention kernel
+    (BERGEN_TPU_FLASH_DECODE=interpret runs the Pallas kernel through the
+    interpreter on CPU) must be token-exact vs the 4-D einsum drain —
+    including prefill-branch writes into the flat cache and ring shifts.
+    Needs a kernel-eligible geometry (head_dim % 64 == 0), so it builds its
+    own config instead of the module fixture's Dh=12."""
+    cfg = llama.LlamaConfig(
+        vocab_size=96, hidden_size=128, num_heads=2, num_kv_heads=1,
+        num_layers=2, intermediate_size=64, max_position_embeddings=256,
+    )
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(31)
+    lens = (5, 13, 37, 21, 4, 29)
+    prompts = [list(rng.integers(3, 96, size=n)) for n in lens]
+    max_new = [6, 12, 3, 9, 15, 5]
+
+    def run():
+        srv = GenerationServer(params, cfg, EOS, PAD, max_slots=2,
+                               max_len=64, prompt_buckets=(8, 16, 32, 64))
+        return srv.run_workload(prompts, max_new, mode="epoch")
+
+    monkeypatch.setenv("BERGEN_TPU_FLASH_DECODE", "0")
+    ref = run()
+    monkeypatch.setenv("BERGEN_TPU_FLASH_DECODE", "interpret")
+    got = run()
+    from bergen_tpu.ops.decode_attention import flat_cache_ok
+
+    assert flat_cache_ok(cfg, 128), "flat gate should accept this config"
+    for i in range(len(prompts)):
+        assert [int(t) for t in got[i]] == [int(t) for t in ref[i]], i
