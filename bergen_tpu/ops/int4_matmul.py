@@ -230,20 +230,30 @@ def _valid_kb(K: int, group: int, cap: int) -> int:
     return best
 
 
-def _auto_nb(N: int, KBh: int, budget: int = 8 << 20, per: int = 5) -> int:
+def _auto_nb(N: int, KBh: int, mb: int = 32, budget: int = 8 << 20,
+             per: int = 5, total_cap: int = 13 << 20) -> int:
     """Largest n-block dividing N (multiple of 128) whose in-kernel VMEM
-    footprint — packed bytes + two unpacked bf16 planes, ~5 bytes per
-    packed element — stays under ``budget``."""
+    footprint fits: the weight-side blocks (packed bytes + two unpacked
+    bf16 planes, ~5 bytes per packed element) under ``budget`` — the knob
+    the on-chip block tune calibrated — AND the whole block set (adding
+    the f32 out block, its accumulator, and the two activation blocks, all
+    of which scale with the m-block) under ``total_cap``.  The second cap
+    only binds at prefill m-blocks: decode (MB=32) keeps the tuned
+    geometries bit-identical, while MB=256 prefill calls get narrower
+    n-blocks — the round-5 chip bundle OOMed the 16 MB scoped-vmem limit
+    by 128 KB at M=8192, N=32000 because out/acc were unbudgeted."""
     best = 0
+    x_bytes = 4 * mb * KBh  # xe + xo bf16 blocks
     b = 128
     while b <= N:
-        if N % b == 0 and per * KBh * b <= budget:
+        if (N % b == 0 and per * KBh * b <= budget
+                and (per * KBh + 8 * mb) * b + x_bytes <= total_cap):
             best = b
         b += 128
     return best
 
 
-def _auto_config(K: int, N: int, group: int):
+def _auto_config(K: int, N: int, group: int, mb: int = 32):
     """(form, block_n, block_k) per projection shape, encoding the on-chip
     block tune (documentation/evidence/int4_block_tune*.json, TPU v5e,
     decode M=32).  The round-4 default (3dot @ 512x512) paid ~3x its time
@@ -263,11 +273,11 @@ def _auto_config(K: int, N: int, group: int):
     if N >= 16384:
         kb = _valid_kb(K, group, 512)
         if kb:
-            nb = _auto_nb(N, kb // 2)
+            nb = _auto_nb(N, kb // 2, mb)
             if nb >= 1024:
                 return "duo", nb, kb
     kb = _valid_kb(K, group, 3072)
-    nb = _auto_nb(N, kb // 2) if kb else 0
+    nb = _auto_nb(N, kb // 2, mb) if kb else 0
     if kb == 0 or nb == 0:
         return "duo", 512, 512
     return "duo", nb, kb
@@ -332,7 +342,8 @@ def matmul_int4_packed(
     if form is None:
         form = "stacked" if stacked else "auto"
     if form == "auto":
-        form, block_n, block_k = _auto_config(K, N, group)
+        mb_eff = block_m if M > block_m else max(16, ((M + 15) // 16) * 16)
+        form, block_n, block_k = _auto_config(K, N, group, mb_eff)
     KB = _choose_block(K, max(group, 2), block_k)
     NB = _choose_block(N, 128, block_n)
     if KB < group or NB == 0:
